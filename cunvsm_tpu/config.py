@@ -1,0 +1,169 @@
+"""Configuration dataclasses for cunvsm-tpu.
+
+These mirror the reference protobuf configuration surface
+(/root/reference/proto/nvsm.proto:7-84) so that every training recipe the
+CUDA implementation supports can be expressed here, while remaining plain
+Python objects that trace cleanly through jax (all fields that reach jit'd
+code are static hashable values).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+from typing import Optional
+
+
+class Nonlinearity(enum.Enum):
+    # Reference: nvsm.proto:12-15 (TransformDesc.Nonlinearity).
+    TANH = "tanh"
+    HARD_TANH = "hard_tanh"
+
+
+class UpdateMethod(enum.Enum):
+    # Reference: nvsm.proto:41-45 (TrainConfig.UpdateMethod).
+    SGD = "sgd"
+    ADAGRAD = "adagrad"
+    ADAM = "adam"
+
+
+class AdamMode(enum.Enum):
+    """Sparse/dense handling of the representation tables under Adam.
+
+    Reference: nvsm.proto:50-58 (AdamConf.AdamMode) and the CLI name map in
+    main.cu:479-485 (sparse_adam / dense_adam / full_adam).
+    """
+
+    SPARSE = "sparse"
+    DENSE_UPDATE = "dense_update"
+    DENSE_UPDATE_DENSE_VARIANCE = "dense_update_dense_variance"
+
+
+# CLI spelling -> (method, adam mode); reference main.cu:479-485.
+UPDATE_METHOD_NAMES = {
+    "sgd": (UpdateMethod.SGD, None),
+    "adagrad": (UpdateMethod.ADAGRAD, None),
+    "sparse_adam": (UpdateMethod.ADAM, AdamMode.SPARSE),
+    "dense_adam": (UpdateMethod.ADAM, AdamMode.DENSE_UPDATE),
+    "full_adam": (UpdateMethod.ADAM, AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelDesc:
+    """Model architecture description. Reference: nvsm.proto:7-29."""
+
+    word_repr_size: int = 300
+    entity_repr_size: int = 256
+
+    batch_normalization: bool = False
+    nonlinearity: Nonlinearity = Nonlinearity.TANH
+
+    # Clip the NCE sigmoid into [eps, 1-eps]; the reference always enables
+    # this from the CLI (main.cu:645 sets clip_sigmoid=true) but tests
+    # exercise both settings.
+    clip_sigmoid: bool = True
+
+    # When False (and >1 negative sample), the loss reweights instances so
+    # negative samples do not dominate (objective.cu:258-290).
+    bias_negative_samples: bool = False
+
+    l2_normalize_phrase_reprs: bool = False
+    l2_normalize_entity_reprs: bool = False
+
+    # Numeric constants used by the clipped sigmoid.  The reference uses a
+    # *different* epsilon in the forward clip (1e-7, objective.cu:246) and
+    # the backward zero-gradient test (1e-6, objective.cu:368); we replicate
+    # both deliberately.
+    sigmoid_eps_forward: float = 1e-7
+    sigmoid_eps_backward: float = 1e-6
+
+    # BatchNorm parameters (objective.cu:109-116): per-activation BN with
+    # epsilon 1e-4, beta == the transform bias, gamma frozen at 1, and
+    # training-mode statistics only.
+    batch_norm_eps: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class AdamConfig:
+    mode: AdamMode = AdamMode.DENSE_UPDATE_DENSE_VARIANCE
+    beta1: float = 0.9
+    beta2: float = 0.999
+    # DEFAULT_EPSILON in updates.h:21; note the reference adds eps *outside*
+    # sqrt(v): update = m_hat / (sqrt(v) + eps).
+    epsilon: float = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters. Reference: nvsm.proto:31-71."""
+
+    num_epochs: int = 1
+    batch_size: int = 1024
+
+    window_size: int = 8
+    num_random_entities: int = 1
+
+    regularization_lambda: float = 0.01
+    learning_rate: float = 0.0  # 0.0 -> per-optimizer default (main.cu:710-721)
+
+    update_method: UpdateMethod = UpdateMethod.ADAM
+    adam: AdamConfig = dataclasses.field(default_factory=AdamConfig)
+    adagrad_epsilon: float = 1e-6
+
+    no_shuffle: bool = False
+
+    # Multi-objective ("Mix 'n Match", CIKM 2018) mixture weights.
+    text_entity_weight: float = 1.0
+    entity_entity_weight: float = 0.0
+    term_term_weight: float = 0.0
+
+    seed: int = 1
+
+    def resolved_learning_rate(self) -> float:
+        if self.learning_rate != 0.0:
+            return self.learning_rate
+        # Reference defaults: SGD/Adagrad 0.01, Adam 0.001 (main.cu:710-721).
+        if self.update_method == UpdateMethod.ADAM:
+            return 0.001
+        return 0.01
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Corpus ingestion configuration. Reference: nvsm.proto:73-84.
+
+    `corpus_path` replaces the Indri `repository_path`: it points at a
+    TRECTEXT file/directory, a JSONL file, or a packed corpus directory.
+    """
+
+    corpus_path: str = ""
+
+    max_vocabulary_size: int = 60000
+    min_document_frequency: int = 2
+    # <= 1.0 means a fraction of the corpus document count (main.cu:665-677).
+    max_document_frequency: float = 0.5
+
+    include_oov: bool = False
+    include_digits: bool = False
+
+    documents_cutoff: int = 0
+    document_list: Optional[str] = None
+    term_blacklist: Optional[str] = None
+
+    similarity_path: Optional[str] = None
+
+
+def _as_jsonable(obj):
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return {k: _as_jsonable(v) for k, v in dataclasses.asdict(obj).items()}
+    if isinstance(obj, enum.Enum):
+        return obj.value
+    if isinstance(obj, dict):
+        return {k: _as_jsonable(v) for k, v in obj.items()}
+    return obj
+
+
+def config_to_json(*configs) -> str:
+    return json.dumps([_as_jsonable(c) for c in configs], indent=2, sort_keys=True)

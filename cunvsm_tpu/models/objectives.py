@@ -1,0 +1,408 @@
+"""NVSM/LSE objectives as pure jax functions.
+
+This module replaces the reference's Objective/ForwardResult/Gradients class
+hierarchy (objective.cu, intermediate_results.cu) with pure functions and
+``jax.value_and_grad``.  The hand-written CUDA backward passes (multipliers,
+column negation, fold_columns, the transposed GEMMs) fall out of autodiff; the
+deliberate asymmetries (surrogate sigmoid gradient, hard-tanh mask) live in
+``cunvsm_tpu.ops.activations`` as custom-VJP ops.
+
+Gradient contract: the reference performs gradient *ascent* on the
+log-likelihood (model.cu:187-220 adds lr*grad).  We therefore expose
+"ascent gradients" (the negation of d cost / d theta) so the optimizer
+formulas in ``cunvsm_tpu.optim`` can mirror the CUDA update rules verbatim.
+
+Sparse representation gradients keep the reference's descriptor structure
+(intermediate_results.cu:283-317): a per-instance gradient matrix plus the
+(indices, window, weights) needed for scatter-add — this is what the sparse
+Adagrad/Adam modes consume.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cunvsm_tpu.config import ModelDesc, Nonlinearity, TrainConfig
+from cunvsm_tpu.models.params import ModelParams
+from cunvsm_tpu.ops.activations import (
+    hard_tanh,
+    l2_normalize_rows,
+    log_truncated_sigmoid,
+    truncated_sigmoid,
+)
+from cunvsm_tpu.ops.batchnorm import batch_norm_train
+
+
+class TextEntityBatch(NamedTuple):
+    """SoA batch for the text->entity objective (data.cu:8-60).
+
+    features:        [B, W] int32 word ids.
+    feature_weights: [B, W] per-term weights (uniform -> all ones;
+                     self-information -> -log(tf/total), data.h:464-488).
+    labels:          [B] int32 entity (document) ids.
+    weights:         [B] per-instance weights.  Padding rows carry weight 0.
+    """
+
+    features: jax.Array
+    feature_weights: jax.Array
+    labels: jax.Array
+    weights: jax.Array
+
+
+class SimilarityBatch(NamedTuple):
+    """Batch of (id, id, weight) pairs (data.cu:154-188)."""
+
+    ids: jax.Array  # [B, 2] int32
+    weights: jax.Array  # [B]
+
+
+class SparseGrad(NamedTuple):
+    """Sparse ascent-gradient descriptor for a representations table.
+
+    Mirrors RepresentationsStorage::SingleGradientType
+    (storage.h / intermediate_results.cu:283-317): scatter semantics are
+    ``table[indices[i, w]] += lr * weights[i, w] * grad[i]`` for every
+    instance i and window slot w (update_repr_kernel, storage.cu:37-49;
+    duplicate indices accumulate).
+    """
+
+    grad: jax.Array  # [num_instances, dim]
+    indices: jax.Array  # [num_instances, window] int32
+    weights: Optional[jax.Array]  # [num_instances, window] or None
+
+
+class AscentGrads(NamedTuple):
+    """All gradients for one training step (cf. Gradients<FloatT>)."""
+
+    word: Tuple[SparseGrad, ...]
+    entity: Tuple[SparseGrad, ...]
+    transform_w: Optional[jax.Array]
+    transform_b: Optional[jax.Array]
+
+
+def sample_negative_entities(
+    key: jax.Array, labels: jax.Array, num_entities: int, num_negative: int
+) -> jax.Array:
+    """[positive, neg_1..neg_k] per instance (labels.cu:3-22).
+
+    Negatives are uniform over [0, num_entities); the reference samples on
+    the host with minstd_rand0, we use the jax PRNG on device.
+    """
+    negatives = jax.random.randint(
+        key, (labels.shape[0], num_negative), 0, num_entities, dtype=labels.dtype
+    )
+    return jnp.concatenate([labels[:, None], negatives], axis=1)
+
+
+def gather_phrase_reprs(
+    word_reprs: jax.Array, features: jax.Array, feature_weights: jax.Array
+) -> jax.Array:
+    """Windowed weighted average of word representations.
+
+    out[i] = (1/window) * sum_w feature_weights[i, w] * word_reprs[features[i, w]]
+    (average_repr_kernel, params.cu:77-95; note division by window, not by the
+    weight sum).
+    """
+    window = features.shape[1]
+    gathered = jnp.take(word_reprs, features, axis=0)  # [B, W, d]
+    return jnp.einsum(
+        "bw,bwd->bd", feature_weights.astype(gathered.dtype), gathered
+    ) / window
+
+
+def apply_transform(
+    phrase: jax.Array,
+    transform_w: jax.Array,
+    transform_b: jax.Array,
+    desc: ModelDesc,
+    batch_normalization: bool,
+) -> jax.Array:
+    """phrase -> entity-space projection (Transform::transform, params.cu:377-451).
+
+    Either ``tanh/hard_tanh(x @ W + b)`` or, with batch normalization,
+    ``tanh/hard_tanh(BN(x @ W) + b)`` where the bias is BN's beta
+    (cudnn_utils.cu:107-124).
+    """
+    projected = jnp.dot(
+        phrase, transform_w, preferred_element_type=phrase.dtype
+    )
+    if batch_normalization:
+        projected = batch_norm_train(projected, transform_b, desc.batch_norm_eps)
+    else:
+        projected = projected + transform_b[None, :]
+    if desc.nonlinearity == Nonlinearity.TANH:
+        return jnp.tanh(projected)
+    elif desc.nonlinearity == Nonlinearity.HARD_TANH:
+        return hard_tanh(projected)
+    raise ValueError(f"unknown nonlinearity {desc.nonlinearity}")
+
+
+def nce_instance_weights(
+    weights: jax.Array, num_negative: int, desc: ModelDesc
+) -> jax.Array:
+    """Broadcast instance weights over the (k+1) slots with the
+    negative-sampling bias correction (objective.cu:258-290).
+
+    When ``bias_negative_samples`` is off and k > 1, every weight is scaled by
+    (k+1)/(2k) and positives are additionally scaled by k, keeping the total
+    mass constant while balancing positive/negative contributions.
+    """
+    k = num_negative
+    broadcast = jnp.repeat(weights[:, None], k + 1, axis=1)
+    if not desc.bias_negative_samples and k > 1:
+        broadcast = broadcast * ((k + 1.0) / (2.0 * k))
+        positive_scale = jnp.concatenate(
+            [jnp.full((1,), float(k)), jnp.ones((k,))]
+        ).astype(broadcast.dtype)
+        broadcast = broadcast * positive_scale[None, :]
+    return broadcast
+
+
+class TextEntityIntermediates(NamedTuple):
+    """Pre-gathered tensors that gradients are taken with respect to.
+
+    ``phrase_pre`` is the windowed average *before* the optional L2
+    normalizer; the reference's sparse word-gradient descriptor is
+    d cost / d phrase_pre divided by the window (objective.cu:444-478).
+    ``entity_pre`` are the gathered entity vectors before normalization /
+    negation (objective.cu:164-189).
+    """
+
+    phrase_pre: jax.Array  # [B, d_w]
+    entity_pre: jax.Array  # [B, K+1, d_e]
+
+
+def text_entity_loss(
+    inter: TextEntityIntermediates,
+    transform_w: jax.Array,
+    transform_b: jax.Array,
+    nce_weights: jax.Array,
+    desc: ModelDesc,
+    batch_size_normalizer: jax.Array | float,
+):
+    """NCE loss given gathered tensors (objective.cu:30-313).
+
+    Returns (cost, similarity_probs).  cost = -(sum of weighted log
+    probabilities) / batch_size (SimpleForwardResult::get_cost,
+    intermediate_results.cu:81-124).
+    """
+    phrase = inter.phrase_pre
+    if desc.l2_normalize_phrase_reprs:
+        phrase = l2_normalize_rows(phrase)
+
+    projections = apply_transform(
+        phrase, transform_w, transform_b, desc, desc.batch_normalization
+    )  # [B, d_e]
+
+    entity = inter.entity_pre
+    if desc.l2_normalize_entity_reprs:
+        entity = l2_normalize_rows(entity)
+
+    k_plus_1 = entity.shape[1]
+    # Negate non-positive columns: sigmoid(-x) = 1 - sigmoid(x)
+    # (objective.cu:176-189).
+    signs = jnp.concatenate(
+        [jnp.ones((1,)), -jnp.ones((k_plus_1 - 1,))]
+    ).astype(entity.dtype)
+    dots = jnp.einsum("bd,bkd->bk", projections, entity) * signs[None, :]
+
+    eps_f = desc.sigmoid_eps_forward if desc.clip_sigmoid else 0.0
+    eps_b = desc.sigmoid_eps_backward if desc.clip_sigmoid else 0.0
+    log_probs = log_truncated_sigmoid(dots, eps_f, eps_b)
+    similarity_probs = truncated_sigmoid(dots, eps_f)
+
+    pointwise_mass = nce_weights * log_probs
+    cost = -jnp.sum(pointwise_mass) / batch_size_normalizer
+    return cost, similarity_probs
+
+
+def text_entity_cost(
+    params: ModelParams,
+    batch: TextEntityBatch,
+    entity_ids: jax.Array,
+    desc: ModelDesc,
+    batch_size_normalizer: jax.Array | float | None = None,
+):
+    """Forward-only cost (Model::get_cost parity)."""
+    if batch_size_normalizer is None:
+        batch_size_normalizer = batch.features.shape[0]
+    inter = TextEntityIntermediates(
+        phrase_pre=gather_phrase_reprs(
+            params.word_reprs, batch.features, batch.feature_weights
+        ),
+        entity_pre=jnp.take(params.entity_reprs, entity_ids, axis=0),
+    )
+    nce_w = nce_instance_weights(batch.weights, entity_ids.shape[1] - 1, desc)
+    return text_entity_loss(
+        inter,
+        params.transform_w,
+        params.transform_b,
+        nce_w,
+        desc,
+        batch_size_normalizer,
+    )
+
+
+def text_entity_cost_and_grads(
+    params: ModelParams,
+    batch: TextEntityBatch,
+    entity_ids: jax.Array,
+    desc: ModelDesc,
+    batch_size_normalizer: jax.Array | float | None = None,
+):
+    """Cost + ascent gradients in the reference's sparse-descriptor form.
+
+    Word descriptor: (d ascent / d phrase_pre) / window with the batch's word
+    indices and feature weights (objective.cu:444-478 + the scatter contract
+    in intermediate_results.cu:283-298).
+    Entity descriptor: d ascent / d entity_pre flattened to one row per
+    (instance, slot), window 1, no weights (intermediate_results.cu:300-308).
+    """
+    if batch_size_normalizer is None:
+        batch_size_normalizer = batch.features.shape[0]
+    window = batch.features.shape[1]
+    num_negative = entity_ids.shape[1] - 1
+
+    inter = TextEntityIntermediates(
+        phrase_pre=gather_phrase_reprs(
+            params.word_reprs, batch.features, batch.feature_weights
+        ),
+        entity_pre=jnp.take(params.entity_reprs, entity_ids, axis=0),
+    )
+    nce_w = nce_instance_weights(batch.weights, num_negative, desc)
+
+    def loss_fn(inter_, w_, b_):
+        return text_entity_loss(
+            inter_, w_, b_, nce_w, desc, batch_size_normalizer
+        )
+
+    (cost, similarity_probs), grads = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2), has_aux=True
+    )(inter, params.transform_w, params.transform_b)
+    g_inter, g_w, g_b = grads
+
+    entity_dim = inter.entity_pre.shape[-1]
+    ascent = AscentGrads(
+        word=(
+            SparseGrad(
+                grad=-g_inter.phrase_pre / window,
+                indices=batch.features,
+                weights=batch.feature_weights,
+            ),
+        ),
+        entity=(
+            SparseGrad(
+                grad=-g_inter.entity_pre.reshape(-1, entity_dim),
+                indices=entity_ids.reshape(-1, 1),
+                weights=None,
+            ),
+        ),
+        transform_w=-g_w,
+        transform_b=-g_b,
+    )
+    return cost, similarity_probs, ascent
+
+
+def similarity_loss(
+    gathered: jax.Array,
+    weights: jax.Array,
+    desc: ModelDesc,
+    batch_size_normalizer: jax.Array | float,
+):
+    """Representation-similarity loss (objective.cu:487-575).
+
+    gathered: [B, 2, d] representation pairs; cost =
+    -(sum_i weights[i] * log trunc_sigmoid(<r_i1, r_i2>)) / B.
+    """
+    dots = jnp.sum(gathered[:, 0, :] * gathered[:, 1, :], axis=-1)
+    eps_f = desc.sigmoid_eps_forward if desc.clip_sigmoid else 0.0
+    eps_b = desc.sigmoid_eps_backward if desc.clip_sigmoid else 0.0
+    log_probs = log_truncated_sigmoid(dots, eps_f, eps_b)
+    similarity_probs = truncated_sigmoid(dots, eps_f)
+    cost = -jnp.sum(weights * log_probs) / batch_size_normalizer
+    return cost, similarity_probs
+
+
+def similarity_cost_and_grads(
+    table: jax.Array,
+    batch: SimilarityBatch,
+    desc: ModelDesc,
+    batch_size_normalizer: jax.Array | float | None = None,
+):
+    """Cost + sparse ascent gradient for one representations table.
+
+    The gradient of each representation is the *other* member of the pair
+    scaled by the multiplier (flip_adjacent_columns, objective.cu:641-661) —
+    produced here by autodiff.
+    """
+    if batch_size_normalizer is None:
+        batch_size_normalizer = batch.ids.shape[0]
+    gathered = jnp.take(table, batch.ids, axis=0)  # [B, 2, d]
+
+    def loss_fn(g):
+        return similarity_loss(g, batch.weights, desc, batch_size_normalizer)
+
+    (cost, similarity_probs), g = jax.value_and_grad(loss_fn, has_aux=True)(
+        gathered
+    )
+    desc_grad = SparseGrad(
+        grad=-g.reshape(-1, table.shape[1]),
+        indices=batch.ids.reshape(-1, 1),
+        weights=None,
+    )
+    return cost, similarity_probs, desc_grad
+
+
+def scale_sparse(g: SparseGrad, scale: float) -> SparseGrad:
+    return g._replace(grad=g.grad * scale)
+
+
+def merge_ascent_grads(
+    grads_and_weights: Tuple[Tuple[AscentGrads, float], ...]
+) -> AscentGrads:
+    """Weighted merge of constituent gradients (MergeGradientsFn,
+    intermediate_results.cu:3-60): every gradient is scaled by
+    weight / sum(weights); dense transform gradients are summed; sparse
+    representation descriptors are concatenated.
+    """
+    total = sum(w for _, w in grads_and_weights)
+    word: list = []
+    entity: list = []
+    t_w = None
+    t_b = None
+    for g, w in grads_and_weights:
+        s = w / total
+        word.extend(scale_sparse(sg, s) for sg in g.word)
+        entity.extend(scale_sparse(sg, s) for sg in g.entity)
+        if g.transform_w is not None:
+            t_w = g.transform_w * s if t_w is None else t_w + g.transform_w * s
+        if g.transform_b is not None:
+            t_b = g.transform_b * s if t_b is None else t_b + g.transform_b * s
+    return AscentGrads(
+        word=tuple(word), entity=tuple(entity), transform_w=t_w, transform_b=t_b
+    )
+
+
+def infer(
+    params: ModelParams,
+    features: jax.Array,
+    desc: ModelDesc,
+    feature_weights: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Project word windows into entity space (Model::infer, model.cu:105-133).
+
+    Batch normalization is *never* applied at inference (the reference passes
+    nullptr); the configured nonlinearity is.
+    """
+    if feature_weights is None:
+        feature_weights = jnp.ones(features.shape, params.word_reprs.dtype)
+    phrase = gather_phrase_reprs(params.word_reprs, features, feature_weights)
+    if desc.l2_normalize_phrase_reprs:
+        phrase = l2_normalize_rows(phrase)
+    return apply_transform(
+        phrase, params.transform_w, params.transform_b, desc,
+        batch_normalization=False,
+    )

@@ -1,0 +1,390 @@
+"""Optimizers with the reference's exact update semantics.
+
+Replaces updates.cu / updates_adagrad.cu / updates_adam.cu.  The update rules
+are *not* textbook — the notable quirks, all reproduced deliberately:
+
+* The reference performs gradient **ascent**: ``param += lr * grad`` where
+  grad is d(log-likelihood)/d(theta) (model.cu:187-220).  All gradients
+  flowing in here are "ascent gradients" (see models/objectives.py).
+* L2 regularization folds into a multiplicative decay applied to the whole
+  tensor before the (possibly sparse) addition:
+  ``param = param * (1 - lambda_scaled * lr) + lr * update``
+  (storage.cu:65-67, storage_inl.h:8-32); the bias is never regularized
+  (updates.h:39-62, storage.cu:222-227).
+* Adam adds epsilon *outside* the square root: ``m_hat / (sqrt(v) + eps)``
+  for the representation paths (updates_adam.cu:150,306-307) and transform
+  (updates_adam.cu:37-43: divide by ``sqrt(v) + eps``).  Adagrad divides by
+  ``sqrt(acc + eps)`` — epsilon *inside* (updates_adagrad.cu:21-31,96).
+* Sparse Adagrad keeps ONE scalar accumulator per object, fed with the
+  dimension-averaged squared gradient, and reads it back averaged over the
+  window (updates_adagrad.cu:72-97,132-158).
+* Sparse Adam (SPARSE / DENSE_UPDATE modes) keeps a full-size first moment
+  and a scalar-per-object second moment; both decay **globally** every step
+  (the m/v "storages" are updated through the same decay-fold path,
+  updates_adam.cu:196-252) while only touched rows receive additions.
+* DENSE_UPDATE_DENSE_VARIANCE ("full_adam", the canonical NVSM config,
+  functions.sh:369-400) keeps dense m and v, folds the L2 term into the
+  moments (updates_adam.cu:203-213,253-282), and applies a dense update with
+  no extra decay (updates_adam.cu:312-328).
+
+Scatter-adds use ``Array.at[].add`` which XLA lowers to sorted scatters on
+TPU; duplicate indices accumulate exactly like the reference's atomicAdd
+(storage.cu:37-49).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from cunvsm_tpu.config import AdamMode, TrainConfig, UpdateMethod
+from cunvsm_tpu.models.objectives import AscentGrads, SparseGrad
+from cunvsm_tpu.models.params import ModelParams
+
+
+# ---------------------------------------------------------------------------
+# Optimizer state pytrees.
+# ---------------------------------------------------------------------------
+
+
+class SGDState(NamedTuple):
+    pass
+
+
+class TransformAdagradState(NamedTuple):
+    acc_w: jax.Array
+    acc_b: jax.Array
+
+
+class TransformAdamState(NamedTuple):
+    m_w: jax.Array
+    m_b: jax.Array
+    v_w: jax.Array
+    v_b: jax.Array
+    t: jax.Array  # scalar int32, starts at 1 (updates.h:197, t_=1)
+
+
+class ReprAdagradState(NamedTuple):
+    acc: jax.Array  # [num_objects] scalar accumulator per object
+
+
+class ReprAdamState(NamedTuple):
+    m: jax.Array  # [num_objects, dim]
+    v: jax.Array  # [num_objects] (SPARSE/DENSE_UPDATE) or [num_objects, dim]
+    t: jax.Array
+
+
+TransformState = Union[SGDState, TransformAdagradState, TransformAdamState]
+ReprState = Union[SGDState, ReprAdagradState, ReprAdamState]
+
+
+class OptState(NamedTuple):
+    word: ReprState
+    entity: ReprState
+    transform: TransformState
+
+
+# ---------------------------------------------------------------------------
+# Shared helpers.
+# ---------------------------------------------------------------------------
+
+
+def _scatter_updates(desc: SparseGrad) -> Tuple[jax.Array, jax.Array]:
+    """Flatten a sparse descriptor into (flat_indices, flat_updates).
+
+    flat_updates[i*W + w] = weights[i, w] * grad[i]  (update_repr_kernel,
+    storage.cu:37-49).
+    """
+    num_instances, window = desc.indices.shape
+    dim = desc.grad.shape[1]
+    upd = jnp.broadcast_to(
+        desc.grad[:, None, :], (num_instances, window, dim)
+    )
+    if desc.weights is not None:
+        upd = upd * desc.weights[:, :, None].astype(upd.dtype)
+    return desc.indices.reshape(-1), upd.reshape(-1, dim)
+
+
+def _scatter_add(table: jax.Array, desc: SparseGrad, scale) -> jax.Array:
+    idx, upd = _scatter_updates(desc)
+    return table.at[idx].add(scale * upd)
+
+
+def _scatter_add_scalar(
+    vec: jax.Array, desc: SparseGrad, values: jax.Array, scale
+) -> jax.Array:
+    """Scatter per-instance scalars into a per-object vector.
+
+    vec[idx[i, w]] += scale * weights[i, w] * values[i].
+    """
+    num_instances, window = desc.indices.shape
+    upd = jnp.broadcast_to(values[:, None], (num_instances, window))
+    if desc.weights is not None:
+        upd = upd * desc.weights.astype(upd.dtype)
+    return vec.at[desc.indices.reshape(-1)].add(scale * upd.reshape(-1))
+
+
+def _window_mean_gather(table: jax.Array, indices: jax.Array) -> jax.Array:
+    """mean over the window of table rows: out[i] = mean_w table[idx[i, w]]."""
+    return jnp.mean(jnp.take(table, indices, axis=0), axis=1)
+
+
+def _adam_bias_correction(beta1, beta2, t):
+    # sqrt(1 - beta2^t) / (1 - beta1^t)  (updates_adam.cu:91,285).
+    tf = t.astype(jnp.float32)
+    return jnp.sqrt(1.0 - jnp.power(beta2, tf)) / (1.0 - jnp.power(beta1, tf))
+
+
+# ---------------------------------------------------------------------------
+# Transform (dense W + bias) updates.
+# ---------------------------------------------------------------------------
+
+
+def _transform_sgd(w, b, g_w, g_b, lr, lam):
+    # storage.cu:200-228 via storage_inl.h: decay-fold on W only.
+    w = w * (1.0 - lam * lr) + lr * g_w
+    b = b + lr * g_b
+    return w, b
+
+
+def _transform_adagrad(state, w, b, g_w, g_b, lr, lam, eps):
+    # updates_adagrad.cu:33-70.
+    acc_w = state.acc_w + jnp.square(g_w)
+    acc_b = state.acc_b + jnp.square(g_b)
+    g_w = g_w / jnp.sqrt(acc_w + eps)
+    g_b = g_b / jnp.sqrt(acc_b + eps)
+    w, b = _transform_sgd(w, b, g_w, g_b, lr, lam)
+    return TransformAdagradState(acc_w, acc_b), w, b
+
+
+def _transform_adam(state, w, b, g_w, g_b, lr, lam, beta1, beta2, eps):
+    # updates_adam.cu:46-105: regularize grad (W only), update moments,
+    # bias-corrected step with no decay fold.
+    g_w = g_w - lam * w
+    m_w = beta1 * state.m_w + (1.0 - beta1) * g_w
+    m_b = beta1 * state.m_b + (1.0 - beta1) * g_b
+    v_w = beta2 * state.v_w + (1.0 - beta2) * jnp.square(g_w)
+    v_b = beta2 * state.v_b + (1.0 - beta2) * jnp.square(g_b)
+    bc = _adam_bias_correction(beta1, beta2, state.t).astype(w.dtype)
+    w = w + lr * bc * m_w / (jnp.sqrt(v_w) + eps)
+    b = b + lr * bc * m_b / (jnp.sqrt(v_b) + eps)
+    return TransformAdamState(m_w, m_b, v_w, v_b, state.t + 1), w, b
+
+
+# ---------------------------------------------------------------------------
+# Representations (sparse embedding-table) updates.
+# ---------------------------------------------------------------------------
+
+
+def _repr_sgd(table, descs, lr, lam):
+    # RepresentationsStorage::update (storage.cu:51-102): one decay fold,
+    # then scatter-add every descriptor.
+    table = table * (1.0 - lam * lr)
+    for desc in descs:
+        table = _scatter_add(table, desc, lr)
+    return table
+
+
+def _repr_adagrad(state, table, descs, lr, lam, eps):
+    # updates_adagrad.cu:99-179.  Single-descriptor only, like the reference
+    # (CHECK_EQ at updates_adagrad.cu:108).
+    assert len(descs) == 1, "Adagrad does not implement multiple gradients"
+    desc = descs[0]
+    msq = jnp.mean(jnp.square(desc.grad), axis=1)  # dim-averaged squared grad
+    acc = _scatter_add_scalar(state.acc, desc, msq, 1.0)
+    agg = _window_mean_gather(acc, desc.indices)  # [num_instances]
+    scaled = desc._replace(
+        grad=desc.grad / jnp.sqrt(agg + eps)[:, None]
+    )
+    table = _repr_sgd(table, (scaled,), lr, lam)
+    return ReprAdagradState(acc), table
+
+
+def _repr_adam_moments_sparse(state, descs, beta1, beta2):
+    """m/v updates shared by SPARSE and DENSE_UPDATE modes
+    (updates_adam.cu:195-252): global decay + sparse additions; v holds the
+    dimension-averaged squared gradient per object."""
+    m = beta1 * state.m
+    v = beta2 * state.v
+    for desc in descs:
+        m = _scatter_add(m, desc, 1.0 - beta1)
+        msq = jnp.mean(jnp.square(desc.grad), axis=1)
+        v = _scatter_add_scalar(v, desc, msq, 1.0 - beta2)
+    return m, v
+
+
+def _repr_adam_sparse(state, table, descs, lr, lam, beta1, beta2, eps):
+    # SPARSE mode (updates_adam.cu:332-384): statistics per object, update
+    # averaged over the window via adam_sparse_update_kernel.
+    assert len(descs) == 1, "Sparse Adam does not implement multiple gradients"
+    desc = descs[0]
+    m, v = _repr_adam_moments_sparse(state, descs, beta1, beta2)
+    bc = _adam_bias_correction(beta1, beta2, state.t).astype(table.dtype)
+    agg_m = _window_mean_gather(m, desc.indices)  # [I, dim]
+    agg_v = _window_mean_gather(v, desc.indices)  # [I]
+    step = desc._replace(
+        grad=bc * agg_m / (jnp.sqrt(agg_v)[:, None] + eps)
+    )
+    table = _repr_sgd(table, (step,), lr, lam)
+    return ReprAdamState(m, v, state.t + 1), table
+
+
+def _repr_adam_dense_update(state, table, descs, lr, lam, beta1, beta2, eps):
+    # DENSE_UPDATE mode (updates_adam.cu:293-311): sparse moments, dense
+    # parameter sweep with the scalar variance broadcast per row.
+    m, v = _repr_adam_moments_sparse(state, descs, beta1, beta2)
+    bc = _adam_bias_correction(beta1, beta2, state.t).astype(table.dtype)
+    update = bc * m / (jnp.sqrt(v)[:, None] + eps)
+    table = table * (1.0 - lam * lr) + lr * update
+    return ReprAdamState(m, v, state.t + 1), table
+
+
+def _repr_adam_full(state, table, descs, lr, lam, beta1, beta2, eps):
+    # DENSE_UPDATE_DENSE_VARIANCE mode (updates_adam.cu:203-213,253-282,
+    # 312-328): dense m and v with L2 folded into the moments.
+    m = beta1 * state.m
+    agg = jnp.zeros_like(table)
+    for desc in descs:
+        m = _scatter_add(m, desc, 1.0 - beta1)
+        agg = _scatter_add(agg, desc, 1.0)
+    m = m - (1.0 - beta1) * lam * table
+    agg = agg - lam * table
+    v = beta2 * state.v + (1.0 - beta2) * jnp.square(agg)
+    bc = _adam_bias_correction(beta1, beta2, state.t).astype(table.dtype)
+    table = table + lr * bc * m / (jnp.sqrt(v) + eps)
+    return ReprAdamState(m, v, state.t + 1), table
+
+
+# ---------------------------------------------------------------------------
+# Public optimizer facade.
+# ---------------------------------------------------------------------------
+
+
+class Optimizer:
+    """Static dispatcher; all methods are pure and jit-compatible.
+
+    Equivalent of the GradientUpdater hierarchy wired up in params.cu:45-62,
+    341-358: the same update method applies to both representation tables and
+    the transform.
+    """
+
+    def __init__(self, cfg: TrainConfig):
+        self.cfg = cfg
+
+    # -- init ---------------------------------------------------------------
+
+    def init(self, params: ModelParams) -> OptState:
+        method = self.cfg.update_method
+        if method == UpdateMethod.SGD:
+            return OptState(SGDState(), SGDState(), SGDState())
+        if method == UpdateMethod.ADAGRAD:
+            return OptState(
+                word=ReprAdagradState(
+                    jnp.zeros((params.num_words,), params.word_reprs.dtype)
+                ),
+                entity=ReprAdagradState(
+                    jnp.zeros((params.num_entities,), params.entity_reprs.dtype)
+                ),
+                transform=TransformAdagradState(
+                    jnp.zeros_like(params.transform_w),
+                    jnp.zeros_like(params.transform_b),
+                ),
+            )
+        if method == UpdateMethod.ADAM:
+            dense_v = self.cfg.adam.mode == AdamMode.DENSE_UPDATE_DENSE_VARIANCE
+
+            def repr_state(table):
+                v_shape = table.shape if dense_v else (table.shape[0],)
+                return ReprAdamState(
+                    m=jnp.zeros_like(table),
+                    v=jnp.zeros(v_shape, table.dtype),
+                    t=jnp.ones((), jnp.int32),
+                )
+
+            return OptState(
+                word=repr_state(params.word_reprs),
+                entity=repr_state(params.entity_reprs),
+                transform=TransformAdamState(
+                    m_w=jnp.zeros_like(params.transform_w),
+                    m_b=jnp.zeros_like(params.transform_b),
+                    v_w=jnp.zeros_like(params.transform_w),
+                    v_b=jnp.zeros_like(params.transform_b),
+                    t=jnp.ones((), jnp.int32),
+                ),
+            )
+        raise ValueError(f"unknown update method {method}")
+
+    # -- apply --------------------------------------------------------------
+
+    def apply(
+        self,
+        params: ModelParams,
+        opt_state: OptState,
+        grads: AscentGrads,
+        learning_rate: float,
+        scaled_regularization_lambda,
+    ) -> Tuple[ModelParams, OptState]:
+        """One update step (Model::update, model.cu:187-220).
+
+        ``scaled_regularization_lambda`` is lambda / batch_size
+        (intermediate_results.cu:126-129).
+        """
+        cfg = self.cfg
+        lr = learning_rate
+        lam = scaled_regularization_lambda
+
+        word, w_state = self._apply_repr(
+            params.word_reprs, opt_state.word, grads.word, lr, lam
+        )
+        entity, e_state = self._apply_repr(
+            params.entity_reprs, opt_state.entity, grads.entity, lr, lam
+        )
+
+        t_w, t_b = params.transform_w, params.transform_b
+        t_state = opt_state.transform
+        if grads.transform_w is not None:
+            if cfg.update_method == UpdateMethod.SGD:
+                t_w, t_b = _transform_sgd(
+                    t_w, t_b, grads.transform_w, grads.transform_b, lr, lam
+                )
+            elif cfg.update_method == UpdateMethod.ADAGRAD:
+                t_state, t_w, t_b = _transform_adagrad(
+                    t_state, t_w, t_b, grads.transform_w, grads.transform_b,
+                    lr, lam, cfg.adagrad_epsilon,
+                )
+            else:
+                t_state, t_w, t_b = _transform_adam(
+                    t_state, t_w, t_b, grads.transform_w, grads.transform_b,
+                    lr, lam, cfg.adam.beta1, cfg.adam.beta2, cfg.adam.epsilon,
+                )
+
+        return (
+            ModelParams(word, entity, t_w, t_b),
+            OptState(w_state, e_state, t_state),
+        )
+
+    def _apply_repr(self, table, state, descs, lr, lam):
+        if not descs:
+            return table, state
+        cfg = self.cfg
+        if cfg.update_method == UpdateMethod.SGD:
+            return _repr_sgd(table, descs, lr, lam), state
+        if cfg.update_method == UpdateMethod.ADAGRAD:
+            state, table = _repr_adagrad(
+                state, table, descs, lr, lam, cfg.adagrad_epsilon
+            )
+            return table, state
+        mode = cfg.adam.mode
+        args = (state, table, descs, lr, lam,
+                cfg.adam.beta1, cfg.adam.beta2, cfg.adam.epsilon)
+        if mode == AdamMode.SPARSE:
+            state, table = _repr_adam_sparse(*args)
+        elif mode == AdamMode.DENSE_UPDATE:
+            state, table = _repr_adam_dense_update(*args)
+        elif mode == AdamMode.DENSE_UPDATE_DENSE_VARIANCE:
+            state, table = _repr_adam_full(*args)
+        else:
+            raise ValueError(f"unknown adam mode {mode}")
+        return table, state

@@ -1,0 +1,181 @@
+"""Jit-compiled training steps for all five objective flavours.
+
+The reference instantiates Model<ObjectiveT> for (model.cu:222-228):
+  * TextEntity               — the NVSM/LSE loss (the default),
+  * EntityEntity / TermTerm  — standalone representation-similarity,
+  * TextEntityEntityEntity / TextEntityTermTerm — "Mix 'n Match" composites
+    (objective.cu:698-795) that weight-merge the constituent gradients.
+
+Here each flavour is a pure ``step(params, opt_state, batch, key) ->
+(params, opt_state, cost)`` function, jit-compiled once with donated
+params/opt-state buffers so updates happen in place in HBM.
+"""
+
+from __future__ import annotations
+
+import enum
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cunvsm_tpu.config import ModelDesc, TrainConfig
+from cunvsm_tpu.models import objectives as obj
+from cunvsm_tpu.models.params import ModelParams
+from cunvsm_tpu.optim.updates import Optimizer, OptState
+
+
+class ObjectiveKind(enum.Enum):
+    TEXT_ENTITY = "text_entity"
+    ENTITY_ENTITY = "entity_entity"
+    TERM_TERM = "term_term"
+    TEXT_ENTITY_ENTITY_ENTITY = "text_entity_entity_entity"
+    TEXT_ENTITY_TERM_TERM = "text_entity_term_term"
+
+
+def objective_kind_from_config(cfg: TrainConfig) -> ObjectiveKind:
+    """Mixture-weight dispatch (main.cu:733-757)."""
+    if cfg.entity_entity_weight != 0.0:
+        assert cfg.term_term_weight == 0.0
+        return ObjectiveKind.TEXT_ENTITY_ENTITY_ENTITY
+    if cfg.term_term_weight != 0.0:
+        return ObjectiveKind.TEXT_ENTITY_TERM_TERM
+    return ObjectiveKind.TEXT_ENTITY
+
+
+def _text_entity_grads(params, batch, key, desc, cfg):
+    entity_ids = obj.sample_negative_entities(
+        key, batch.labels, params.num_entities, cfg.num_random_entities
+    )
+    cost, _, grads = obj.text_entity_cost_and_grads(
+        params, batch, entity_ids, desc
+    )
+    return cost, grads
+
+
+def _similarity_grads(params, batch, desc, table_name):
+    table = params.word_reprs if table_name == "word" else params.entity_reprs
+    cost, _, sparse = obj.similarity_cost_and_grads(table, batch, desc)
+    empty: Tuple = ()
+    if table_name == "word":
+        grads = obj.AscentGrads((sparse,), empty, None, None)
+    else:
+        grads = obj.AscentGrads(empty, (sparse,), None, None)
+    return cost, grads
+
+
+def compute_cost_and_grads(
+    kind: ObjectiveKind,
+    params: ModelParams,
+    batch,
+    key: jax.Array,
+    desc: ModelDesc,
+    cfg: TrainConfig,
+):
+    """Cost + merged ascent gradients for any objective flavour.
+
+    For composites, ``batch`` is a (TextEntityBatch, SimilarityBatch) tuple;
+    the reported cost is the *mean* of constituent costs
+    (MultiForwardResultBase::get_cost, intermediate_results.cu:222-230) while
+    gradients are merged weighted by the mixture weights
+    (objective.cu:724-743 + intermediate_results.cu:3-60).
+    """
+    if kind == ObjectiveKind.TEXT_ENTITY:
+        return _text_entity_grads(params, batch, key, desc, cfg)
+    if kind == ObjectiveKind.ENTITY_ENTITY:
+        return _similarity_grads(params, batch, desc, "entity")
+    if kind == ObjectiveKind.TERM_TERM:
+        return _similarity_grads(params, batch, desc, "word")
+
+    te_batch, sim_batch = batch
+    te_cost, te_grads = _text_entity_grads(params, te_batch, key, desc, cfg)
+    if kind == ObjectiveKind.TEXT_ENTITY_ENTITY_ENTITY:
+        sim_cost, sim_grads = _similarity_grads(
+            params, sim_batch, desc, "entity"
+        )
+        sim_weight = cfg.entity_entity_weight
+    else:
+        sim_cost, sim_grads = _similarity_grads(params, sim_batch, desc, "word")
+        sim_weight = cfg.term_term_weight
+    merged = obj.merge_ascent_grads(
+        ((te_grads, cfg.text_entity_weight), (sim_grads, sim_weight))
+    )
+    return 0.5 * (te_cost + sim_cost), merged
+
+
+def scaled_regularization_lambda(cfg: TrainConfig, kind: ObjectiveKind) -> float:
+    """lambda / batch_size (intermediate_results.cu:126-129); for composites
+    the average over constituents (intermediate_results.cu:232-240) — both
+    streams use the same batch size (main.cu:221-333), so it's the same
+    value."""
+    return cfg.regularization_lambda / cfg.batch_size
+
+
+def make_train_step(
+    desc: ModelDesc,
+    cfg: TrainConfig,
+    kind: Optional[ObjectiveKind] = None,
+    jit: bool = True,
+):
+    """Build the train step: forward + backward + optimizer update."""
+    if kind is None:
+        kind = objective_kind_from_config(cfg)
+    optimizer = Optimizer(cfg)
+    lr = cfg.resolved_learning_rate()
+    lam = scaled_regularization_lambda(cfg, kind)
+
+    def step(params: ModelParams, opt_state: OptState, batch, key: jax.Array):
+        cost, grads = compute_cost_and_grads(kind, params, batch, key, desc, cfg)
+        params, opt_state = optimizer.apply(params, opt_state, grads, lr, lam)
+        return params, opt_state, cost
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0, 1))
+    return step
+
+
+def make_cost_fn(desc: ModelDesc, cfg: TrainConfig, kind: ObjectiveKind):
+    """Forward-only cost (Model::get_cost, model.cu:154-174). The same key
+    replays the same negative samples."""
+
+    def cost(params: ModelParams, batch, key: jax.Array):
+        c, _ = compute_cost_and_grads(kind, params, batch, key, desc, cfg)
+        return c
+
+    return cost
+
+
+def make_optimized_cost_fn(desc: ModelDesc, cfg: TrainConfig, kind: ObjectiveKind):
+    """The scalar objective whose gradient the merged ascent gradients are.
+
+    For single objectives this is the reported cost.  For composites the
+    reference *reports* the unweighted mean of constituent costs
+    (intermediate_results.cu:222-230) but *optimizes* the weight-normalized
+    sum sum_i(w_i * c_i) / sum_i(w_i) (MergeGradientsFn scales each
+    constituent by w_i / sum w, intermediate_results.cu:30-38) — the two only
+    coincide at equal weights, which is the only setting the reference's own
+    gradient checker exercises (tests_base_cuda.h:100-102).
+    """
+    if kind in (
+        ObjectiveKind.TEXT_ENTITY,
+        ObjectiveKind.ENTITY_ENTITY,
+        ObjectiveKind.TERM_TERM,
+    ):
+        return make_cost_fn(desc, cfg, kind)
+
+    if kind == ObjectiveKind.TEXT_ENTITY_ENTITY_ENTITY:
+        sim_weight = cfg.entity_entity_weight
+        sim_table = "entity"
+    else:
+        sim_weight = cfg.term_term_weight
+        sim_table = "word"
+    total = cfg.text_entity_weight + sim_weight
+
+    def cost(params: ModelParams, batch, key: jax.Array):
+        te_batch, sim_batch = batch
+        te_cost, _ = _text_entity_grads(params, te_batch, key, desc, cfg)
+        sim_cost, _ = _similarity_grads(params, sim_batch, desc, sim_table)
+        return (cfg.text_entity_weight * te_cost + sim_weight * sim_cost) / total
+
+    return cost

@@ -1,0 +1,209 @@
+"""Forward-pass tests against hand-computed values (model_tests.cu analog)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cunvsm_tpu.config import ModelDesc, Nonlinearity
+from cunvsm_tpu.models import objectives as obj
+from cunvsm_tpu.models.params import ModelParams, init_params
+
+
+def make_params(rng, num_words=7, num_entities=5, d_w=3, d_e=4):
+    return ModelParams(
+        word_reprs=jnp.asarray(rng.randn(num_words, d_w)),
+        entity_reprs=jnp.asarray(rng.randn(num_entities, d_e)),
+        transform_w=jnp.asarray(rng.randn(d_w, d_e)),
+        transform_b=jnp.asarray(rng.randn(d_e)),
+    )
+
+
+class TestGatherPhraseReprs:
+    def test_unweighted_average(self, rng):
+        # model_tests.cu:52-123: gather/average kernel exact values.
+        table = jnp.asarray(rng.randn(6, 3))
+        feats = jnp.array([[0, 1], [2, 2]], dtype=jnp.int32)
+        fw = jnp.ones((2, 2))
+        out = obj.gather_phrase_reprs(table, feats, fw)
+        want = np.stack(
+            [
+                (np.asarray(table)[0] + np.asarray(table)[1]) / 2.0,
+                np.asarray(table)[2],
+            ]
+        )
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-12)
+
+    def test_weighted_divides_by_window_not_weightsum(self, rng):
+        # average_repr_kernel divides by window_size even when weighted
+        # (params.cu:94).
+        table = jnp.asarray(rng.randn(6, 3))
+        feats = jnp.array([[0, 1]], dtype=jnp.int32)
+        fw = jnp.array([[2.0, 4.0]])
+        out = obj.gather_phrase_reprs(table, feats, fw)
+        want = (2.0 * np.asarray(table)[0] + 4.0 * np.asarray(table)[1]) / 2.0
+        np.testing.assert_allclose(np.asarray(out)[0], want, rtol=1e-12)
+
+
+class TestNegativeSampling:
+    def test_layout_positive_first(self, rng):
+        # labels.cu:3-22: [pos, neg_1..neg_k] per instance.
+        key = jax.random.PRNGKey(0)
+        labels = jnp.array([3, 1, 4], dtype=jnp.int32)
+        ids = obj.sample_negative_entities(key, labels, 5, 4)
+        assert ids.shape == (3, 5)
+        np.testing.assert_array_equal(np.asarray(ids[:, 0]), [3, 1, 4])
+        assert np.all(np.asarray(ids) >= 0) and np.all(np.asarray(ids) < 5)
+
+
+class TestNCEWeights:
+    def test_bias_correction(self):
+        # objective.cu:258-290: scale by (k+1)/(2k), positives x k.
+        desc = ModelDesc(bias_negative_samples=False)
+        w = jnp.array([1.0, 2.0])
+        k = 4
+        out = np.asarray(obj.nce_instance_weights(w, k, desc))
+        np.testing.assert_allclose(out[0, 0], 1.0 * (5.0 / 8.0) * 4.0)
+        np.testing.assert_allclose(out[0, 1:], np.full(4, 5.0 / 8.0))
+        np.testing.assert_allclose(out[1, 0], 2.0 * (5.0 / 8.0) * 4.0)
+        # Total mass per instance is preserved: (k+1) * w.
+        np.testing.assert_allclose(out.sum(axis=1), [5.0, 10.0])
+
+    def test_biased_mode_no_correction(self):
+        desc = ModelDesc(bias_negative_samples=True)
+        out = np.asarray(obj.nce_instance_weights(jnp.array([3.0]), 4, desc))
+        np.testing.assert_allclose(out, np.full((1, 5), 3.0))
+
+    def test_single_negative_no_correction(self):
+        # k == 1 never triggers the correction (condition k > 1).
+        desc = ModelDesc(bias_negative_samples=False)
+        out = np.asarray(obj.nce_instance_weights(jnp.array([1.0]), 1, desc))
+        np.testing.assert_allclose(out, np.ones((1, 2)))
+
+
+class TestTextEntityForward:
+    def _manual_cost(self, params, batch, entity_ids, desc):
+        """Numpy re-derivation of objective.cu:30-313."""
+        word = np.asarray(params.word_reprs)
+        ent_tab = np.asarray(params.entity_reprs)
+        W = np.asarray(params.transform_w)
+        b = np.asarray(params.transform_b)
+        feats = np.asarray(batch.features)
+        fw = np.asarray(batch.feature_weights)
+        weights = np.asarray(batch.weights)
+        ids = np.asarray(entity_ids)
+        B, window = feats.shape
+        k = ids.shape[1] - 1
+
+        phrase = np.einsum("bw,bwd->bd", fw, word[feats]) / window
+        proj = np.tanh(phrase @ W + b)
+        ent = ent_tab[ids]
+        signs = np.array([1.0] + [-1.0] * k)
+        dots = np.einsum("bd,bkd->bk", proj, ent) * signs
+        p = np.clip(1.0 / (1.0 + np.exp(-dots)), 1e-7, 1.0 - 1e-7)
+        lw = np.repeat(weights[:, None], k + 1, axis=1)
+        if k > 1:
+            lw = lw * (k + 1.0) / (2.0 * k)
+            lw[:, 0] *= k
+        return -np.sum(lw * np.log(p)) / B
+
+    def test_cost_matches_manual(self, rng):
+        params = make_params(rng)
+        batch = obj.TextEntityBatch(
+            features=jnp.asarray(rng.randint(0, 7, (4, 2)), dtype=jnp.int32),
+            feature_weights=jnp.ones((4, 2)),
+            labels=jnp.asarray(rng.randint(0, 5, (4,)), dtype=jnp.int32),
+            weights=jnp.asarray(rng.rand(4) + 0.5),
+        )
+        desc = ModelDesc(nonlinearity=Nonlinearity.TANH)
+        ids = obj.sample_negative_entities(
+            jax.random.PRNGKey(7), batch.labels, 5, 3
+        )
+        cost, probs = obj.text_entity_cost(params, batch, ids, desc)
+        want = self._manual_cost(params, batch, ids, desc)
+        np.testing.assert_allclose(float(cost), want, rtol=1e-10)
+        assert probs.shape == (4, 4)
+
+    def test_cost_positive_and_finite(self, rng):
+        params = make_params(rng)
+        batch = obj.TextEntityBatch(
+            features=jnp.zeros((2, 3), jnp.int32),
+            feature_weights=jnp.ones((2, 3)),
+            labels=jnp.zeros((2,), jnp.int32),
+            weights=jnp.ones((2,)),
+        )
+        ids = obj.sample_negative_entities(
+            jax.random.PRNGKey(0), batch.labels, 5, 2
+        )
+        cost, _ = obj.text_entity_cost(params, batch, ids, ModelDesc())
+        assert np.isfinite(float(cost)) and float(cost) > 0.0
+
+
+class TestSimilarityForward:
+    def test_cost_matches_manual(self, rng):
+        table = jnp.asarray(rng.randn(6, 4))
+        batch = obj.SimilarityBatch(
+            ids=jnp.asarray(rng.randint(0, 6, (3, 2)), dtype=jnp.int32),
+            weights=jnp.asarray(rng.rand(3)),
+        )
+        cost, probs, grad = obj.similarity_cost_and_grads(
+            table, batch, ModelDesc()
+        )
+        t = np.asarray(table)
+        ids = np.asarray(batch.ids)
+        dots = np.sum(t[ids[:, 0]] * t[ids[:, 1]], axis=1)
+        p = np.clip(1.0 / (1.0 + np.exp(-dots)), 1e-7, 1 - 1e-7)
+        want = -np.sum(np.asarray(batch.weights) * np.log(p)) / 3.0
+        np.testing.assert_allclose(float(cost), want, rtol=1e-10)
+
+    def test_gradient_is_flipped_pair(self, rng):
+        # objective.cu:641-661: grad of each repr is the *other* repr scaled
+        # by the multiplier.
+        table = jnp.asarray(rng.randn(6, 4))
+        batch = obj.SimilarityBatch(
+            ids=jnp.array([[0, 3]], dtype=jnp.int32),
+            weights=jnp.array([2.0]),
+        )
+        _, probs, grad = obj.similarity_cost_and_grads(
+            table, batch, ModelDesc()
+        )
+        t = np.asarray(table)
+        p = float(probs[0])
+        mult = 2.0 * (1.0 / 1.0) * (1.0 - p)  # weight * (1/B) * (1-p)
+        got = np.asarray(grad.grad)
+        np.testing.assert_allclose(got[0], mult * t[3], rtol=1e-10)
+        np.testing.assert_allclose(got[1], mult * t[0], rtol=1e-10)
+
+
+class TestInfer:
+    def test_infer_ignores_batchnorm(self, rng):
+        # model.cu:124-128: BN never applies at inference.
+        params = make_params(rng)
+        desc = ModelDesc(batch_normalization=True)
+        feats = jnp.asarray(rng.randint(0, 7, (3, 2)), dtype=jnp.int32)
+        out = obj.infer(params, feats, desc)
+        phrase = np.einsum(
+            "bwd->bd", np.asarray(params.word_reprs)[np.asarray(feats)]
+        ) / 2.0
+        want = np.tanh(
+            phrase @ np.asarray(params.transform_w) + np.asarray(params.transform_b)
+        )
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-10)
+
+
+class TestInitParams:
+    def test_shapes_and_bias_zero(self):
+        desc = ModelDesc(word_repr_size=8, entity_repr_size=6)
+        p = init_params(jax.random.PRNGKey(0), 11, 9, desc)
+        assert p.word_reprs.shape == (11, 8)
+        assert p.entity_reprs.shape == (9, 6)
+        assert p.transform_w.shape == (8, 6)
+        np.testing.assert_array_equal(np.asarray(p.transform_b), np.zeros(6))
+
+    def test_glorot_limits(self):
+        desc = ModelDesc(word_repr_size=8, entity_repr_size=6)
+        p = init_params(jax.random.PRNGKey(0), 100, 9, desc)
+        limit = (6.0 / (100 + 8)) ** 0.5
+        w = np.asarray(p.word_reprs)
+        assert np.abs(w).max() <= limit
+        assert np.abs(w).max() > 0.5 * limit
