@@ -131,10 +131,12 @@ def _window_mean_gather(table: jax.Array, indices: jax.Array) -> jax.Array:
     return jnp.mean(jnp.take(table, indices, axis=0), axis=1)
 
 
-def _adam_bias_correction(beta1, beta2, t):
+def _adam_bias_correction(beta1, beta2, t, dtype):
     # sqrt(1 - beta2^t) / (1 - beta1^t)  (updates_adam.cu:91,285).
-    tf = t.astype(jnp.float32)
-    return jnp.sqrt(1.0 - jnp.power(beta2, tf)) / (1.0 - jnp.power(beta1, tf))
+    tf = t.astype(dtype)
+    b1 = jnp.asarray(beta1, dtype)
+    b2 = jnp.asarray(beta2, dtype)
+    return jnp.sqrt(1.0 - jnp.power(b2, tf)) / (1.0 - jnp.power(b1, tf))
 
 
 # ---------------------------------------------------------------------------
@@ -167,7 +169,7 @@ def _transform_adam(state, w, b, g_w, g_b, lr, lam, beta1, beta2, eps):
     m_b = beta1 * state.m_b + (1.0 - beta1) * g_b
     v_w = beta2 * state.v_w + (1.0 - beta2) * jnp.square(g_w)
     v_b = beta2 * state.v_b + (1.0 - beta2) * jnp.square(g_b)
-    bc = _adam_bias_correction(beta1, beta2, state.t).astype(w.dtype)
+    bc = _adam_bias_correction(beta1, beta2, state.t, w.dtype)
     w = w + lr * bc * m_w / (jnp.sqrt(v_w) + eps)
     b = b + lr * bc * m_b / (jnp.sqrt(v_b) + eps)
     return TransformAdamState(m_w, m_b, v_w, v_b, state.t + 1), w, b
@@ -221,7 +223,7 @@ def _repr_adam_sparse(state, table, descs, lr, lam, beta1, beta2, eps):
     assert len(descs) == 1, "Sparse Adam does not implement multiple gradients"
     desc = descs[0]
     m, v = _repr_adam_moments_sparse(state, descs, beta1, beta2)
-    bc = _adam_bias_correction(beta1, beta2, state.t).astype(table.dtype)
+    bc = _adam_bias_correction(beta1, beta2, state.t, table.dtype)
     agg_m = _window_mean_gather(m, desc.indices)  # [I, dim]
     agg_v = _window_mean_gather(v, desc.indices)  # [I]
     step = desc._replace(
@@ -235,7 +237,7 @@ def _repr_adam_dense_update(state, table, descs, lr, lam, beta1, beta2, eps):
     # DENSE_UPDATE mode (updates_adam.cu:293-311): sparse moments, dense
     # parameter sweep with the scalar variance broadcast per row.
     m, v = _repr_adam_moments_sparse(state, descs, beta1, beta2)
-    bc = _adam_bias_correction(beta1, beta2, state.t).astype(table.dtype)
+    bc = _adam_bias_correction(beta1, beta2, state.t, table.dtype)
     update = bc * m / (jnp.sqrt(v)[:, None] + eps)
     table = table * (1.0 - lam * lr) + lr * update
     return ReprAdamState(m, v, state.t + 1), table
@@ -252,7 +254,7 @@ def _repr_adam_full(state, table, descs, lr, lam, beta1, beta2, eps):
     m = m - (1.0 - beta1) * lam * table
     agg = agg - lam * table
     v = beta2 * state.v + (1.0 - beta2) * jnp.square(agg)
-    bc = _adam_bias_correction(beta1, beta2, state.t).astype(table.dtype)
+    bc = _adam_bias_correction(beta1, beta2, state.t, table.dtype)
     table = table + lr * bc * m / (jnp.sqrt(v) + eps)
     return ReprAdamState(m, v, state.t + 1), table
 
