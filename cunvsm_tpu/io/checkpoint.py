@@ -1,0 +1,186 @@
+"""HDF5 checkpoints byte-compatible with the reference, plus real resume.
+
+Write contract (hdf5.cu + model.cu:64-93 + storage.cu:115-121,243-250):
+
+* ``<prefix>_<epoch>.hdf5`` with one dataset per tensor:
+    - ``word_representations-representations``   [num_words, word_dim]
+    - ``entity_representations-representations`` [num_entities, entity_dim]
+    - ``word_entity_mapping-transform``          [word_dim, entity_dim]
+    - ``word_entity_mapping-bias``               [1, entity_dim]
+  (the reference writes (cols, rows) dims from its column-major matrices,
+  hdf5.cu:33, which lands exactly on these numpy shapes);
+* files are never overwritten (H5F_ACC_EXCL, lse_hdf5_inl.h:25);
+* a one-time ``<prefix>_meta`` serialized lse.Metadata protobuf with
+  term/object id mappings and term frequencies (main.cu:527-537,
+  data_indri.cpp:534-555).
+
+Extensions beyond the reference (which has write-only checkpoints and no
+resume, SURVEY.md §5):
+
+* ``<prefix>_vocab.txt`` / ``<prefix>_docnos.txt`` sidecars holding the term
+  and docno strings (the reference leans on pyndri for those at query time);
+* ``save_training_state``/``load_training_state`` checkpoint optimizer state
+  and the data-epoch cursor for true resume.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import h5py
+import numpy as np
+
+from cunvsm_tpu.models.params import ModelParams
+from cunvsm_tpu.proto import nvsm_pb2
+
+WORD_REPRS = "word_representations-representations"
+ENTITY_REPRS = "entity_representations-representations"
+TRANSFORM = "word_entity_mapping-transform"
+BIAS = "word_entity_mapping-bias"
+
+
+def checkpoint_path(prefix: str, epoch) -> str:
+    return f"{prefix}_{epoch}.hdf5"
+
+
+def save_model_hdf5(params: ModelParams, prefix: str, epoch) -> str:
+    path = checkpoint_path(prefix, epoch)
+    # 'w-' == H5F_ACC_EXCL: refuse to overwrite (lse_hdf5_inl.h:25).
+    with h5py.File(path, "w-") as f:
+        f.create_dataset(
+            WORD_REPRS, data=np.asarray(params.word_reprs, dtype=np.float32)
+        )
+        f.create_dataset(
+            ENTITY_REPRS, data=np.asarray(params.entity_reprs, dtype=np.float32)
+        )
+        f.create_dataset(
+            TRANSFORM, data=np.asarray(params.transform_w, dtype=np.float32)
+        )
+        f.create_dataset(
+            BIAS,
+            data=np.asarray(params.transform_b, dtype=np.float32).reshape(1, -1),
+        )
+    return path
+
+
+def load_model_hdf5(prefix: str, epoch) -> ModelParams:
+    import jax.numpy as jnp
+
+    with h5py.File(checkpoint_path(prefix, epoch), "r") as f:
+        return ModelParams(
+            word_reprs=jnp.asarray(f[WORD_REPRS][()]),
+            entity_reprs=jnp.asarray(f[ENTITY_REPRS][()]),
+            transform_w=jnp.asarray(f[TRANSFORM][()]),
+            transform_b=jnp.asarray(f[BIAS][()]).reshape(-1),
+        )
+
+
+def build_metadata(
+    index_term_ids: Sequence[int],
+    term_frequencies: Sequence[int],
+    num_objects: int,
+    total_terms: int,
+    include_oov: bool,
+) -> "nvsm_pb2.Metadata":
+    """Assemble the lse.Metadata proto (data_indri.cpp:534-555 semantics:
+    one TermInfo per model term, one ObjectInfo per model object; when no
+    external index exists, index_object_id == model_object_id)."""
+    meta = nvsm_pb2.Metadata()
+    for model_id, (iid, freq) in enumerate(
+        zip(index_term_ids, term_frequencies)
+    ):
+        if include_oov and model_id == 0:
+            # The OOV slot keeps index id 0 / frequency 1
+            # (data_indri.cpp:812-822).
+            iid, freq = 0, 1
+        info = meta.term.add()
+        info.index_term_id = int(iid)
+        info.model_term_id = int(model_id)
+        info.term_frequency = int(freq)
+    for model_id in range(num_objects):
+        obj = meta.object.add()
+        obj.index_object_id = int(model_id)
+        obj.model_object_id = int(model_id)
+    meta.total_terms = int(total_terms)
+    return meta
+
+
+def save_meta(meta: "nvsm_pb2.Metadata", prefix: str) -> str:
+    path = f"{prefix}_meta"
+    with open(path, "wb") as f:
+        f.write(meta.SerializeToString())
+    return path
+
+
+def load_meta(prefix: str) -> "nvsm_pb2.Metadata":
+    meta = nvsm_pb2.Metadata()
+    with open(f"{prefix}_meta", "rb") as f:
+        meta.ParseFromString(f.read())
+    return meta
+
+
+def save_strings(strings: Sequence[str], path: str) -> None:
+    with open(path, "w") as f:
+        for s in strings:
+            f.write(s + "\n")
+
+
+def load_strings(path: str) -> List[str]:
+    with open(path) as f:
+        return [line.rstrip("\n") for line in f]
+
+
+def save_corpus_sidecars(corpus, prefix: str) -> None:
+    """Vocabulary terms + docnos in model-id order (framework extension)."""
+    save_strings(corpus.vocab.terms, f"{prefix}_vocab.txt")
+    save_strings(corpus.docnos, f"{prefix}_docnos.txt")
+
+
+# ---------------------------------------------------------------------------
+# Training-state resume (extension; the reference restarts from scratch).
+# ---------------------------------------------------------------------------
+
+
+def save_training_state(
+    prefix: str,
+    params: ModelParams,
+    opt_state,
+    epoch: int,
+    extra: Optional[Dict[str, np.ndarray]] = None,
+) -> str:
+    import jax
+
+    path = f"{prefix}_resume.npz"
+    arrays: Dict[str, np.ndarray] = {"__epoch__": np.asarray(epoch)}
+    flat, _ = jax.tree_util.tree_flatten((params, opt_state))
+    for i, leaf in enumerate(flat):
+        arrays[f"leaf_{i}"] = np.asarray(leaf)
+    if extra:
+        for k, v in extra.items():
+            arrays[f"extra_{k}"] = v
+    tmp = path + ".tmp"
+    np.savez(tmp, **arrays)
+    os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
+    return path
+
+
+def load_training_state(prefix: str, params_like, opt_state_like):
+    import jax
+    import jax.numpy as jnp
+
+    path = f"{prefix}_resume.npz"
+    data = np.load(path)
+    flat_like, treedef = jax.tree_util.tree_flatten(
+        (params_like, opt_state_like)
+    )
+    leaves = [
+        jnp.asarray(data[f"leaf_{i}"], dtype=leaf.dtype)
+        for i, leaf in enumerate(flat_like)
+    ]
+    params, opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    epoch = int(data["__epoch__"])
+    extra = {
+        k[len("extra_"):]: data[k] for k in data.files if k.startswith("extra_")
+    }
+    return params, opt_state, epoch, extra

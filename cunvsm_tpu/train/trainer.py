@@ -1,0 +1,224 @@
+"""Epoch-driven training loop (cuNVSMTrainModel's train<ObjectiveT>,
+main.cu:492-621, rebuilt around a single jit'd step).
+
+Differences from the reference driven by the TPU execution model:
+
+* the whole step (forward + backward + optimizer) is one compiled XLA
+  program with donated buffers; per-batch costs stay on device and are only
+  fetched at logging boundaries, so the host never serializes the pipeline
+  (the reference synchronizes on every batch's cost readback,
+  intermediate_results.cu:99-113);
+* negative sampling runs on device from a per-step PRNG key derived from the
+  global step counter (deterministic replay without the reference's
+  RNG-state string snapshots, model.cu:154-174);
+* host batch preparation overlaps device compute through a prefetch thread
+  (the AsyncSource role, data_async.cpp).
+
+Adds true resume (checkpointing optimizer state + epoch cursor), which the
+reference lacks (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cunvsm_tpu.config import DataConfig, ModelDesc, TrainConfig
+from cunvsm_tpu.data.corpus import Corpus
+from cunvsm_tpu.data.instances import (
+    FeatureWeighting,
+    TextEntitySource,
+    Weighting,
+)
+from cunvsm_tpu.data.sources import (
+    Prefetcher,
+    SimilaritySource,
+    repeating,
+    zip_sources,
+)
+from cunvsm_tpu.io import checkpoint as ckpt
+from cunvsm_tpu.models import objectives as obj
+from cunvsm_tpu.models.params import ModelParams, init_params
+from cunvsm_tpu.optim.updates import Optimizer
+from cunvsm_tpu.train.step import (
+    ObjectiveKind,
+    make_train_step,
+    objective_kind_from_config,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def _to_device_batch(np_batch):
+    if isinstance(np_batch, tuple) and not hasattr(np_batch, "_fields"):
+        te, sim = np_batch
+        return (_to_device_batch(te), _to_device_batch(sim))
+    if hasattr(np_batch, "ids"):  # SimilarityBatchNp
+        return obj.SimilarityBatch(
+            ids=jnp.asarray(np_batch.ids), weights=jnp.asarray(np_batch.weights)
+        )
+    return obj.TextEntityBatch(
+        features=jnp.asarray(np_batch.features),
+        feature_weights=jnp.asarray(np_batch.feature_weights),
+        labels=jnp.asarray(np_batch.labels),
+        weights=jnp.asarray(np_batch.weights),
+    )
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: ModelParams
+    opt_state: object
+    epoch_costs: List[float]
+    batches_per_sec: float
+
+
+def train_model(
+    desc: ModelDesc,
+    cfg: TrainConfig,
+    corpus: Corpus,
+    output_prefix: Optional[str] = None,
+    similarity_source: Optional[SimilaritySource] = None,
+    feature_weighting: FeatureWeighting = FeatureWeighting.UNIFORM,
+    weighting: Weighting = Weighting.AUTOMATIC,
+    compute_initial_cost: bool = False,
+    dump_initial_model: bool = False,
+    dump_every: int = 0,
+    resume: bool = False,
+    prefetch_depth: int = 10,
+    dtype=jnp.float32,
+    epoch_callback: Optional[Callable] = None,
+) -> TrainResult:
+    kind = objective_kind_from_config(cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    source = TextEntitySource(
+        corpus,
+        batch_size=cfg.batch_size,
+        shuffle=not cfg.no_shuffle,
+        weighting=weighting,
+        feature_weighting=feature_weighting,
+        seed=cfg.seed,
+    )
+    if kind != ObjectiveKind.TEXT_ENTITY and similarity_source is None:
+        raise ValueError(f"objective {kind} requires a similarity source")
+
+    params = init_params(
+        key, corpus.vocab.size, corpus.num_docs, desc, dtype=dtype
+    )
+    optimizer = Optimizer(cfg)
+    opt_state = optimizer.init(params)
+    step = make_train_step(desc, cfg, kind)
+
+    start_epoch = 1
+    if resume and output_prefix and os.path.exists(
+        f"{output_prefix}_resume.npz"
+    ):
+        params, opt_state, last_epoch, _ = ckpt.load_training_state(
+            output_prefix, params, opt_state
+        )
+        start_epoch = last_epoch + 1
+        logger.info("Resumed from epoch %d.", last_epoch)
+
+    if output_prefix and start_epoch == 1:
+        # One-time metadata + sidecars (main.cu:527-537).
+        meta = ckpt.build_metadata(
+            corpus.vocab.index_term_ids,
+            corpus.vocab.term_freq,
+            corpus.num_docs,
+            corpus.vocab.total_terms,
+            corpus.vocab.include_oov,
+        )
+        ckpt.save_meta(meta, output_prefix)
+        ckpt.save_corpus_sidecars(corpus, output_prefix)
+
+    def epoch_stream():
+        batches = source.epoch_batches()
+        if kind != ObjectiveKind.TEXT_ENTITY:
+            batches = zip_sources(batches, sim_iter)
+        return Prefetcher(
+            (_to_device_batch(b) for b in batches), depth=prefetch_depth
+        )
+
+    sim_iter = (
+        iter(repeating(similarity_source)) if similarity_source else None
+    )
+
+    if compute_initial_cost:
+        # main.cu:544-562: one forward-only pass before training.
+        from cunvsm_tpu.train.step import make_cost_fn
+
+        cost_fn = jax.jit(make_cost_fn(desc, cfg, kind))
+        costs = []
+        for i, batch in enumerate(epoch_stream()):
+            costs.append(
+                cost_fn(params, batch, jax.random.fold_in(key, -i - 1))
+            )
+        if costs:
+            logger.info(
+                "Initial cost: %.6f",
+                float(jnp.mean(jnp.stack(costs))),
+            )
+
+    if dump_initial_model and output_prefix:
+        ckpt.save_model_hdf5(params, output_prefix, 0)
+
+    epoch_costs: List[float] = []
+    total_batches = 0
+    train_start = time.time()
+
+    for epoch in range(start_epoch, cfg.num_epochs + 1):
+        epoch_start = time.time()
+        batch_costs = []
+        for batch in epoch_stream():
+            step_key = jax.random.fold_in(key, total_batches)
+            params, opt_state, cost = step(params, opt_state, batch, step_key)
+            batch_costs.append(cost)
+            total_batches += 1
+            if (
+                dump_every > 0
+                and output_prefix
+                and total_batches % dump_every == 0
+            ):
+                ckpt.save_model_hdf5(
+                    params, output_prefix, f"{epoch}_{total_batches}"
+                )
+        # Single host sync per epoch.
+        epoch_cost = (
+            float(jnp.mean(jnp.stack(batch_costs))) if batch_costs else 0.0
+        )
+        epoch_costs.append(epoch_cost)
+        duration = time.time() - epoch_start
+        bps = len(batch_costs) / duration if duration > 0 else 0.0
+        logger.info(
+            "Epoch %d: cost=%.6f (%d batches, %.1f batches/s, %.1fs); "
+            "history=%s",
+            epoch,
+            epoch_cost,
+            len(batch_costs),
+            bps,
+            duration,
+            [f"{c:.4f}" for c in epoch_costs[-5:]],
+        )
+        if output_prefix:
+            ckpt.save_model_hdf5(params, output_prefix, epoch)
+            ckpt.save_training_state(output_prefix, params, opt_state, epoch)
+        if epoch_callback:
+            epoch_callback(epoch, params, epoch_cost)
+
+    total_time = time.time() - train_start
+    return TrainResult(
+        params=params,
+        opt_state=opt_state,
+        epoch_costs=epoch_costs,
+        batches_per_sec=(
+            total_batches / total_time if total_time > 0 else 0.0
+        ),
+    )
