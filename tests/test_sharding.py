@@ -1,0 +1,144 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh.
+
+Verifies (a) the sharded train step compiles and runs with real
+data x model shardings, (b) it is numerically equivalent to the single-device
+step, and (c) the sharded query scorer matches the dense ranking.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cunvsm_tpu.config import (
+    AdamConfig,
+    AdamMode,
+    ModelDesc,
+    TrainConfig,
+    UpdateMethod,
+)
+from cunvsm_tpu.models import objectives as obj
+from cunvsm_tpu.models.params import init_params
+from cunvsm_tpu.optim.updates import Optimizer
+from cunvsm_tpu.parallel.mesh import (
+    default_mesh_shape,
+    make_mesh,
+    make_sharded_train_step,
+)
+from cunvsm_tpu.parallel.query import make_sharded_scorer
+from cunvsm_tpu.train.step import make_train_step
+
+NUM_WORDS, NUM_ENTITIES = 40, 32
+D_W, D_E = 8, 8
+B, W, K = 16, 4, 3
+
+
+def make_setup(update_method=UpdateMethod.ADAM, mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE):
+    desc = ModelDesc(word_repr_size=D_W, entity_repr_size=D_E)
+    cfg = TrainConfig(
+        batch_size=B,
+        window_size=W,
+        num_random_entities=K,
+        update_method=update_method,
+        adam=AdamConfig(mode=mode),
+        learning_rate=0.01,
+    )
+    params = init_params(
+        jax.random.PRNGKey(0), NUM_WORDS, NUM_ENTITIES, desc, dtype=jnp.float32
+    )
+    opt = Optimizer(cfg)
+    return desc, cfg, params, opt.init(params)
+
+
+def make_batch(seed=0):
+    rng = np.random.RandomState(seed)
+    return obj.TextEntityBatch(
+        features=jnp.asarray(rng.randint(0, NUM_WORDS, (B, W)), jnp.int32),
+        feature_weights=jnp.ones((B, W), jnp.float32),
+        labels=jnp.asarray(rng.randint(0, NUM_ENTITIES, (B,)), jnp.int32),
+        weights=jnp.ones((B,), jnp.float32),
+    )
+
+
+def test_mesh_shapes():
+    assert default_mesh_shape(1) == (1, 1)
+    assert default_mesh_shape(8) == (2, 4)
+    assert default_mesh_shape(7) == (1, 7)
+
+
+@pytest.mark.parametrize(
+    "method,mode",
+    [
+        (UpdateMethod.ADAM, AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
+        (UpdateMethod.ADAM, AdamMode.SPARSE),
+        (UpdateMethod.ADAGRAD, None),
+        (UpdateMethod.SGD, None),
+    ],
+)
+def test_sharded_step_matches_single_device(method, mode):
+    desc, cfg, params, opt_state = make_setup(
+        method, mode or AdamMode.DENSE_UPDATE_DENSE_VARIANCE
+    )
+    batch = make_batch()
+    key = jax.random.PRNGKey(7)
+
+    single = make_train_step(desc, cfg, jit=False)
+    p_ref, _, cost_ref = single(params, opt_state, batch, key)
+
+    mesh = make_mesh(2, 4)
+    step, p_sh, o_sh = make_sharded_train_step(
+        desc, cfg, mesh, params, opt_state, batch
+    )
+    p_out, o_out, cost = step(p_sh, o_sh, batch, key)
+
+    np.testing.assert_allclose(float(cost), float(cost_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p_out.entity_reprs),
+        np.asarray(p_ref.entity_reprs),
+        rtol=1e-5,
+        atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_out.word_reprs),
+        np.asarray(p_ref.word_reprs),
+        rtol=1e-5,
+        atol=1e-7,
+    )
+
+
+def test_sharded_step_multiple_iterations():
+    desc, cfg, params, opt_state = make_setup()
+    batch = make_batch()
+    mesh = make_mesh(4, 2)
+    step, p, o = make_sharded_train_step(
+        desc, cfg, mesh, params, opt_state, batch
+    )
+    costs = []
+    for i in range(5):
+        p, o, c = step(p, o, make_batch(i), jax.random.PRNGKey(i))
+        costs.append(float(c))
+    assert all(np.isfinite(c) for c in costs)
+    # Entity table stays sharded across steps (donated buffers).
+    shard0 = p.entity_reprs.sharding
+    assert shard0.spec == jax.sharding.PartitionSpec("model", None)
+
+
+def test_sharded_query_scorer_matches_dense():
+    rng = np.random.RandomState(0)
+    docs = rng.randn(64, 8).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    queries = rng.randn(5, 8).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    mesh = make_mesh(1, 8)
+    scorer, _ = make_sharded_scorer(mesh, jnp.asarray(docs), top_k=10)
+    scores, idx = scorer(jnp.asarray(queries))
+
+    dense = queries @ docs.T
+    want_idx = np.argsort(-dense, axis=1)[:, :10]
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+    np.testing.assert_allclose(
+        np.asarray(scores),
+        np.take_along_axis(dense, want_idx, axis=1),
+        rtol=1e-5,
+    )
