@@ -1,0 +1,102 @@
+"""cunvsm-query: TREC run generation (cuNVSMQuery / py/query.py rebuild).
+
+The reference fans ranking out over a 16-process pool of host-side sklearn
+k-NN searches; here all queries are ranked in one on-device batched matmul +
+top-k (query/engine.py), so no pool is needed.
+
+Usage:
+    python -m cunvsm_tpu.cli.query --topics topics.txt \
+        --model <prefix> --epoch N [--linear] [--top_k K|all] run_out
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from cunvsm_tpu.data.text import load_stopwords, tokenize
+from cunvsm_tpu.io.trec import read_qrels, read_topics, write_run
+from cunvsm_tpu.query.engine import load_query_engine
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--loglevel", default="INFO")
+    p.add_argument("--topics", nargs="+", required=True)
+    p.add_argument("--model", required=True, help="checkpoint prefix")
+    p.add_argument("--epoch", required=True)
+    p.add_argument("--linear", action="store_true", default=False,
+                   help="no output nonlinearity (the NVSM query preset, "
+                        "functions.sh:269-271)")
+    p.add_argument("--self_information", action="store_true", default=False)
+    p.add_argument("--bias_coefficient", type=float, default=0.0)
+    p.add_argument("--strict", action="store_true", default=False)
+    p.add_argument("--top_k", default=None,
+                   help="int, 'all', or a qrels file restricting the "
+                        "candidate documents per query")
+    p.add_argument("--num_queries", type=int, default=None)
+    p.add_argument("--stopwords", default=None)
+    p.add_argument("run_out")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=args.loglevel)
+
+    engine = load_query_engine(
+        args.model,
+        args.epoch,
+        nonlinearity=None if args.linear else "tanh",
+        bias_coefficient=args.bias_coefficient,
+        self_information=args.self_information,
+    )
+    logging.info(
+        "Loaded model: %d terms, %d documents.",
+        len(engine.term_to_id),
+        len(engine.docnos),
+    )
+
+    stopwords = load_stopwords(args.stopwords)
+    topics = {}
+    for path in args.topics:
+        topics.update(read_topics(path))
+    if args.num_queries is not None:
+        topics = dict(list(topics.items())[: args.num_queries])
+    logging.info("Loaded %d topics.", len(topics))
+
+    tokenized = {qid: tokenize(text, stopwords) for qid, text in topics.items()}
+
+    # top_k modes: int | 'all' | qrels-file document sets (query.py:118-139).
+    qrel_sets = None
+    if args.top_k is None:
+        top_k = 1000
+    elif args.top_k == "all":
+        top_k = len(engine.docnos)
+    else:
+        try:
+            top_k = int(args.top_k)
+        except ValueError:
+            qrel_sets = read_qrels(args.top_k)
+            top_k = None
+
+    if qrel_sets is None:
+        run = engine.rank(tokenized, top_k=top_k)
+    else:
+        run = {}
+        for qid, terms in tokenized.items():
+            docnos = list(qrel_sets.get(qid, {}))
+            if not docnos:
+                continue
+            scored = engine.score_documents(terms, docnos)
+            if scored is not None:
+                run[qid] = scored
+
+    write_run(run, args.run_out, name="cunvsm_tpu")
+    logging.info("Run with %d rankings written to %s.", len(run), args.run_out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

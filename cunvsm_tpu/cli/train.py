@@ -1,0 +1,193 @@
+"""cunvsm-train: training CLI mirroring cuNVSMTrainModel's flag surface
+(cpp/main.cu:15-76), with the Indri repository path replaced by a raw
+corpus path (trectext / jsonl / directory).
+
+Usage:
+    python -m cunvsm_tpu.cli.train [flags] <corpus_path> [similarity_path]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from cunvsm_tpu.config import (
+    AdamConfig,
+    DataConfig,
+    ModelDesc,
+    Nonlinearity,
+    TrainConfig,
+    UPDATE_METHOD_NAMES,
+)
+from cunvsm_tpu.data.corpus import load_corpus
+from cunvsm_tpu.data.instances import FeatureWeighting, Weighting
+from cunvsm_tpu.data.sources import SimilaritySource, load_similarities
+from cunvsm_tpu.train.trainer import train_model
+
+NONLINEARITIES = {
+    "tanh": Nonlinearity.TANH,
+    "hard_tanh": Nonlinearity.HARD_TANH,
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("corpus_path")
+    p.add_argument("similarity_path", nargs="?", default=None)
+
+    p.add_argument("--num_epochs", type=int, default=100000)
+    p.add_argument("--document_cutoff", type=int, default=0)
+    p.add_argument("--document_list", default=None)
+    p.add_argument("--term_blacklist", default=None)
+    p.add_argument("--stopwords", default=None,
+                   help="Stopword list applied at tokenization "
+                        "(the role IndriBuildIndex's stoplist plays).")
+
+    p.add_argument("--word_repr_size", type=int, default=4)
+    p.add_argument("--entity_repr_size", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--window_size", type=int, default=8)
+    p.add_argument("--num_random_entities", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--regularization_lambda", type=float, default=0.01)
+    p.add_argument("--learning_rate", type=float, default=0.0)
+    p.add_argument(
+        "--update_method",
+        required=True,
+        choices=sorted(UPDATE_METHOD_NAMES),
+    )
+    p.add_argument(
+        "--weighting",
+        default="auto",
+        choices=["auto", "uniform", "inv_doc_frequency"],
+    )
+    p.add_argument(
+        "--feature_weighting",
+        default="uniform",
+        choices=["uniform", "self_information"],
+    )
+    p.add_argument("--bias_negative_samples", action="store_true")
+    p.add_argument(
+        "--nonlinearity", required=True, choices=sorted(NONLINEARITIES)
+    )
+    p.add_argument("--l2_phrase_normalization", action="store_true")
+    p.add_argument("--l2_entity_normalization", action="store_true")
+    p.add_argument("--batch_normalization", action="store_true")
+    p.add_argument("--max_vocabulary_size", type=int, default=60000)
+    p.add_argument("--min_document_frequency", type=int, default=2)
+    p.add_argument("--max_document_frequency", type=float, default=0.5)
+    p.add_argument("--include_oov", action="store_true")
+    p.add_argument("--compute_initial_cost", action="store_true")
+    p.add_argument("--no_shuffle", action="store_true")
+    p.add_argument("--dump_initial_model", action="store_true")
+    p.add_argument("--dump_every", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="Resume from <output>_resume.npz (extension; the "
+                        "reference restarts from scratch).")
+    p.add_argument("--entity_similarity_weight", type=float, default=0.0)
+    p.add_argument("--term_similarity_weight", type=float, default=0.0)
+    p.add_argument("--output", required=True)
+    p.add_argument("--loglevel", default="INFO")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=args.loglevel,
+        format="%(asctime)s %(name)s %(levelname)s: %(message)s",
+    )
+
+    if args.seed <= 0:
+        # CHECK_GT(FLAGS_seed, 0) (main.cu:708).
+        print("Please specify a positive --seed value.", file=sys.stderr)
+        return 1
+
+    method, adam_mode = UPDATE_METHOD_NAMES[args.update_method]
+    desc = ModelDesc(
+        word_repr_size=args.word_repr_size,
+        entity_repr_size=args.entity_repr_size,
+        batch_normalization=args.batch_normalization,
+        nonlinearity=NONLINEARITIES[args.nonlinearity],
+        clip_sigmoid=True,  # always set by the CLI (main.cu:645)
+        bias_negative_samples=args.bias_negative_samples,
+        l2_normalize_phrase_reprs=args.l2_phrase_normalization,
+        l2_normalize_entity_reprs=args.l2_entity_normalization,
+    )
+    cfg = TrainConfig(
+        num_epochs=args.num_epochs,
+        batch_size=args.batch_size,
+        window_size=args.window_size,
+        num_random_entities=args.num_random_entities,
+        regularization_lambda=args.regularization_lambda,
+        learning_rate=args.learning_rate,
+        update_method=method,
+        adam=AdamConfig(mode=adam_mode) if adam_mode else AdamConfig(),
+        no_shuffle=args.no_shuffle,
+        text_entity_weight=(
+            1.0 - args.entity_similarity_weight - args.term_similarity_weight
+        ),
+        entity_entity_weight=args.entity_similarity_weight,
+        term_term_weight=args.term_similarity_weight,
+        seed=args.seed,
+    )
+    data_cfg = DataConfig(
+        corpus_path=args.corpus_path,
+        max_vocabulary_size=args.max_vocabulary_size,
+        min_document_frequency=args.min_document_frequency,
+        max_document_frequency=args.max_document_frequency,
+        include_oov=args.include_oov,
+        documents_cutoff=args.document_cutoff,
+        document_list=args.document_list,
+        term_blacklist=args.term_blacklist,
+        similarity_path=args.similarity_path,
+    )
+
+    logging.info("Model descriptor: %s", desc)
+    logging.info("Training configuration: %s", cfg)
+    logging.info("Data configuration: %s", data_cfg)
+
+    corpus = load_corpus(data_cfg, cfg.window_size, args.stopwords)
+    logging.info(
+        "Corpus: %d documents, %d terms (%d occurrences).",
+        corpus.num_docs,
+        corpus.vocab.size,
+        corpus.vocab.total_terms,
+    )
+
+    similarity_source = None
+    if args.similarity_path:
+        if args.entity_similarity_weight > 0:
+            identifiers = corpus.docno_to_id()
+        else:
+            identifiers = dict(corpus.vocab.term_to_id)
+        ids, weights = load_similarities(args.similarity_path, identifiers)
+        logging.info("Loaded %d similarity pairs.", len(ids))
+        similarity_source = SimilaritySource(
+            ids, weights, cfg.batch_size, seed=cfg.seed
+        )
+
+    result = train_model(
+        desc,
+        cfg,
+        corpus,
+        output_prefix=args.output,
+        similarity_source=similarity_source,
+        feature_weighting=FeatureWeighting(args.feature_weighting),
+        weighting=Weighting(args.weighting),
+        compute_initial_cost=args.compute_initial_cost,
+        dump_initial_model=args.dump_initial_model,
+        dump_every=args.dump_every,
+        resume=args.resume,
+    )
+    logging.info(
+        "Finished: %d epochs, %.1f batches/s overall.",
+        len(result.epoch_costs),
+        result.batches_per_sec,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -76,7 +76,13 @@ def read_topics(path: str) -> Dict[str, str]:
         line = line.strip()
         if not line:
             continue
-        qid, _, text = line.partition(" ")
-        if text:
-            topics[qid] = text
+        if ";" in line and line.split(";", 1)[0].strip().isdigit():
+            # Cranfield-style "qid;query text" lines
+            # (test_data/cranfield_collection/cranfield.topics).
+            qid, _, text = line.partition(";")
+            qid = qid.strip()
+        else:
+            qid, _, text = line.partition(" ")
+        if text.strip():
+            topics[qid] = text.strip()
     return topics

@@ -1,0 +1,154 @@
+"""Query-likelihood lexical retrieval with PRF: the framework's own QLM side.
+
+The reference pipelines (rank-cranfield-collection.sh:83-95) generate their
+lexical runs with external Indri tooling (`--smoothing_method jm|dirichlet`,
+`--prf`); this module provides the equivalent ranker natively over the packed
+corpus so the full index -> QLM + NVSM -> fusion pipeline runs standalone.
+
+Scoring:
+  * Jelinek-Mercer:  log p(t|d) = log((1-l) * tf/|d| + l * cf_t/|C|)
+  * Dirichlet:       log p(t|d) = log((tf + mu * cf_t/|C|) / (|d| + mu))
+  * PRF: RM3-style relevance model — estimate P(t|R) from the top fb_docs
+    documents weighted by their query likelihood, keep fb_terms terms,
+    interpolate with the original query (weight ``orig_weight``), re-rank.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import scipy.sparse
+
+from cunvsm_tpu.data.corpus import Corpus
+
+
+@dataclasses.dataclass
+class QLMIndex:
+    """Document-term count matrix over the packed corpus vocabulary."""
+
+    doc_term: scipy.sparse.csr_matrix  # [num_docs, vocab] counts
+    doc_lengths: np.ndarray  # [num_docs] in-vocab lengths
+    collection_prob: np.ndarray  # [vocab] cf_t / |C|
+    docnos: List[str]
+    term_to_id: Dict[str, int]
+
+    @property
+    def avg_doc_length(self) -> float:
+        return float(self.doc_lengths.mean())
+
+
+def build_qlm_index(corpus: Corpus) -> QLMIndex:
+    num_docs = corpus.num_docs
+    vocab = corpus.vocab.size
+    doc_ids = np.repeat(
+        np.arange(num_docs, dtype=np.int64), corpus.doc_lengths
+    )
+    mat = scipy.sparse.coo_matrix(
+        (
+            np.ones(len(corpus.tokens), dtype=np.float64),
+            (doc_ids, corpus.tokens.astype(np.int64)),
+        ),
+        shape=(num_docs, vocab),
+    ).tocsr()
+    cf = np.asarray(mat.sum(axis=0)).ravel()
+    total = max(cf.sum(), 1.0)
+    return QLMIndex(
+        doc_term=mat,
+        doc_lengths=np.asarray(mat.sum(axis=1)).ravel(),
+        collection_prob=cf / total,
+        docnos=list(corpus.docnos),
+        term_to_id=dict(corpus.vocab.term_to_id),
+    )
+
+
+def _score_query_vector(
+    index: QLMIndex,
+    query_weights: Dict[int, float],
+    smoothing: str,
+    param: float,
+) -> np.ndarray:
+    """log-likelihood scores of every document for a weighted term vector."""
+    scores = np.zeros(len(index.docnos))
+    lengths = np.maximum(index.doc_lengths, 1.0)
+    for tid, qw in query_weights.items():
+        tf = np.asarray(index.doc_term[:, tid].todense()).ravel()
+        pc = index.collection_prob[tid]
+        if pc <= 0.0:
+            continue
+        if smoothing == "jm":
+            p = (1.0 - param) * tf / lengths + param * pc
+        elif smoothing == "dirichlet":
+            p = (tf + param * pc) / (index.doc_lengths + param)
+        else:
+            raise ValueError(f"unknown smoothing {smoothing}")
+        scores += qw * np.log(np.maximum(p, 1e-300))
+    return scores
+
+
+def _query_term_weights(
+    index: QLMIndex, terms: Sequence[str]
+) -> Dict[int, float]:
+    weights: Dict[int, float] = {}
+    for t in terms:
+        tid = index.term_to_id.get(t)
+        if tid is not None:
+            weights[tid] = weights.get(tid, 0.0) + 1.0
+    return weights
+
+
+def qlm_rank(
+    index: QLMIndex,
+    queries: Dict[str, Sequence[str]],
+    smoothing: str = "jm",
+    param: Optional[float] = None,
+    top_k: int = 1000,
+    prf: bool = False,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    orig_weight: float = 0.5,
+) -> Dict[str, List[Tuple[str, float]]]:
+    """Rank all queries; param defaults: JM lambda=0.5, Dirichlet mu=avg len
+    (the reference's 'auto' settings, TUTORIAL.md:55-58)."""
+    if param is None:
+        param = 0.5 if smoothing == "jm" else index.avg_doc_length
+
+    run: Dict[str, List[Tuple[str, float]]] = {}
+    for qid, terms in queries.items():
+        qw = _query_term_weights(index, terms)
+        if not qw:
+            continue
+        total_qw = sum(qw.values())
+        scores = _score_query_vector(index, qw, smoothing, param)
+
+        if prf:
+            # RM1 relevance model from the top fb_docs documents.
+            order = np.argsort(-scores)[:fb_docs]
+            doc_ll = scores[order]
+            post = np.exp(doc_ll - doc_ll.max())
+            post /= post.sum()
+            rm = np.zeros(index.doc_term.shape[1])
+            for w, d in zip(post, order):
+                row = index.doc_term.getrow(int(d))
+                length = max(index.doc_lengths[int(d)], 1.0)
+                rm[row.indices] += w * row.data / length
+            top_terms = np.argsort(-rm)[:fb_terms]
+            rm_weights = {
+                int(t): float(rm[t]) for t in top_terms if rm[t] > 0
+            }
+            total_rm = sum(rm_weights.values())
+            # RM3 interpolation of normalized query and expansion models.
+            expanded: Dict[int, float] = {}
+            for t, w in qw.items():
+                expanded[t] = orig_weight * w / total_qw
+            for t, w in rm_weights.items():
+                expanded[t] = expanded.get(t, 0.0) + (
+                    (1.0 - orig_weight) * w / total_rm
+                )
+            scores = _score_query_vector(index, expanded, smoothing, param)
+
+        order = np.argsort(-scores)[:top_k]
+        run[qid] = [(index.docnos[int(i)], float(scores[int(i)])) for i in order]
+    return run
