@@ -19,6 +19,7 @@ Document selection rules follow IndriSource::initialize
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -120,8 +121,26 @@ def load_corpus(
     cfg: DataConfig,
     window_size: int,
     stopword_path: Optional[str] = None,
+    use_native: bool = True,
 ) -> Corpus:
-    """End-to-end corpus load from cfg.corpus_path."""
+    """End-to-end corpus load from cfg.corpus_path.
+
+    Uses the C++ ingestion library (native/corpus.cpp) when it is built and
+    the input is a single TRECTEXT file without a document list; falls back
+    to the pure-Python pipeline otherwise.
+    """
+    if (
+        use_native
+        and os.path.isfile(cfg.corpus_path)
+        and not cfg.corpus_path.endswith((".jsonl", ".json", ".gz"))
+        and cfg.document_list is None
+    ):
+        from cunvsm_tpu.data import native
+
+        if native.available():
+            return native.build_corpus_native(
+                cfg.corpus_path, cfg, window_size, stopword_path
+            )
     stopwords = load_stopwords(stopword_path)
     document_list = None
     if cfg.document_list:

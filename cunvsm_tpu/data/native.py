@@ -1,0 +1,148 @@
+"""ctypes bridge to the native corpus-ingestion library.
+
+The C++ implementation (native/corpus.cpp) replicates the Python pipeline
+(data/text.py + data/vocab.py + data/corpus.py) for TRECTEXT inputs at
+collection-scale throughput; the Python path remains the semantic reference
+and the fallback when the library isn't built.
+
+Build with ``make -C native`` (g++ only; no external deps).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+from cunvsm_tpu.config import DataConfig
+from cunvsm_tpu.data.corpus import Corpus
+from cunvsm_tpu.data.vocab import Vocabulary
+
+_LIB_PATHS = [
+    os.path.join(
+        os.path.dirname(__file__), "..", "..", "native", "libcunvsm_native.so"
+    ),
+    os.path.join(os.path.dirname(__file__), "libcunvsm_native.so"),
+]
+
+_lib = None
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    for path in _LIB_PATHS:
+        if os.path.exists(path):
+            lib = ctypes.CDLL(os.path.abspath(path))
+            lib.corpus_build.restype = ctypes.c_void_p
+            lib.corpus_build.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_int, ctypes.c_long, ctypes.c_long, ctypes.c_double,
+                ctypes.c_int, ctypes.c_int, ctypes.c_long,
+            ]
+            lib.corpus_error.restype = ctypes.c_char_p
+            lib.corpus_error.argtypes = [ctypes.c_void_p]
+            for name in (
+                "corpus_num_docs", "corpus_num_tokens", "corpus_vocab_size",
+                "corpus_total_terms", "corpus_vocab_bytes",
+                "corpus_docnos_bytes",
+            ):
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_long
+                fn.argtypes = [ctypes.c_void_p]
+            for name, ptr_t in (
+                ("corpus_copy_tokens", ctypes.c_void_p),
+                ("corpus_copy_offsets", ctypes.c_void_p),
+                ("corpus_copy_index_lengths", ctypes.c_void_p),
+                ("corpus_copy_term_freq", ctypes.c_void_p),
+                ("corpus_copy_index_term_ids", ctypes.c_void_p),
+                ("corpus_copy_vocab", ctypes.c_char_p),
+                ("corpus_copy_docnos", ctypes.c_char_p),
+            ):
+                fn = getattr(lib, name)
+                fn.restype = None
+                fn.argtypes = [ctypes.c_void_p, ptr_t]
+            lib.corpus_free.restype = None
+            lib.corpus_free.argtypes = [ctypes.c_void_p]
+            _lib = lib
+            return lib
+    return None
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def build_corpus_native(
+    trectext_path: str,
+    cfg: DataConfig,
+    window_size: int,
+    stopword_path: Optional[str] = None,
+) -> Corpus:
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError(
+            "native library not built; run `make -C native`"
+        )
+    handle = lib.corpus_build(
+        trectext_path.encode(),
+        (stopword_path or "").encode(),
+        (cfg.term_blacklist or "").encode(),
+        window_size,
+        cfg.max_vocabulary_size,
+        cfg.min_document_frequency,
+        float(cfg.max_document_frequency),
+        int(cfg.include_oov),
+        int(cfg.include_digits),
+        cfg.documents_cutoff,
+    )
+    try:
+        err = lib.corpus_error(handle).decode()
+        if err:
+            raise RuntimeError(f"native corpus build failed: {err}")
+        num_docs = lib.corpus_num_docs(handle)
+        num_tokens = lib.corpus_num_tokens(handle)
+        vocab_size = lib.corpus_vocab_size(handle)
+
+        tokens = np.empty(num_tokens, dtype=np.int32)
+        offsets = np.empty(num_docs + 1, dtype=np.int64)
+        index_lengths = np.empty(num_docs, dtype=np.int64)
+        term_freq = np.empty(vocab_size, dtype=np.int64)
+        index_term_ids = np.empty(vocab_size, dtype=np.int64)
+        if num_tokens:
+            lib.corpus_copy_tokens(handle, tokens.ctypes.data)
+        lib.corpus_copy_offsets(handle, offsets.ctypes.data)
+        if num_docs:
+            lib.corpus_copy_index_lengths(handle, index_lengths.ctypes.data)
+        if vocab_size:
+            lib.corpus_copy_term_freq(handle, term_freq.ctypes.data)
+            lib.corpus_copy_index_term_ids(handle, index_term_ids.ctypes.data)
+
+        vb = ctypes.create_string_buffer(lib.corpus_vocab_bytes(handle))
+        lib.corpus_copy_vocab(handle, vb)
+        terms = vb.raw.decode().split("\n")[:-1]
+        db = ctypes.create_string_buffer(lib.corpus_docnos_bytes(handle))
+        lib.corpus_copy_docnos(handle, db)
+        docnos = db.raw.decode().split("\n")[:-1]
+
+        vocab = Vocabulary(
+            terms=terms,
+            term_to_id={t: i for i, t in enumerate(terms) if t},
+            term_freq=term_freq,
+            total_terms=int(lib.corpus_total_terms(handle)),
+            include_oov=cfg.include_oov,
+            index_term_ids=index_term_ids,
+        )
+        return Corpus(
+            vocab=vocab,
+            tokens=tokens,
+            doc_offsets=offsets,
+            index_lengths=index_lengths,
+            docnos=docnos,
+            window_size=window_size,
+        )
+    finally:
+        lib.corpus_free(handle)

@@ -112,6 +112,57 @@ def _scatter_add(table: jax.Array, desc: SparseGrad, scale) -> jax.Array:
     return table.at[idx].add(scale * upd)
 
 
+def _sorted_segment_accumulate(
+    num_rows: int, descs: Tuple[SparseGrad, ...]
+) -> jax.Array:
+    """Dense accumulation of sparse descriptors: S[v] = sum over (i, w) with
+    indices[i, w] == v of weights[i, w] * grad[i].
+
+    Sorting the flat indices first lets XLA use its sorted-scatter path,
+    which is several times faster on TPU than the unsorted scatter the
+    reference's atomicAdd semantics would naively map to.  Duplicate indices
+    still accumulate exactly.
+    """
+    # Sort lightweight (row_id, instance_id, weight) triples first, then
+    # gather the per-instance gradient rows in sorted order — the gradient
+    # array ([instances, dim]) is typically window-times smaller than the
+    # materialized update matrix, so the random access happens on a much
+    # smaller working set.
+    idx_parts = []
+    ptr_parts = []
+    w_parts = []
+    offset = 0
+    for d in descs:
+        n_inst, window = d.indices.shape
+        idx_parts.append(d.indices.reshape(-1))
+        ptr = jnp.repeat(
+            jnp.arange(offset, offset + n_inst, dtype=jnp.int32), window
+        )
+        ptr_parts.append(ptr)
+        if d.weights is not None:
+            w_parts.append(d.weights.reshape(-1))
+        else:
+            w_parts.append(jnp.ones(n_inst * window, d.grad.dtype))
+        offset += n_inst
+    grads = (
+        jnp.concatenate([d.grad for d in descs])
+        if len(descs) > 1
+        else descs[0].grad
+    )
+    idx = jnp.concatenate(idx_parts) if len(descs) > 1 else idx_parts[0]
+    ptr = jnp.concatenate(ptr_parts) if len(descs) > 1 else ptr_parts[0]
+    wts = jnp.concatenate(w_parts) if len(descs) > 1 else w_parts[0]
+
+    order = jnp.argsort(idx)
+    idx_s = jnp.take(idx, order)
+    upd_s = jnp.take(grads, jnp.take(ptr, order), axis=0) * jnp.take(
+        wts, order
+    )[:, None].astype(grads.dtype)
+    return jax.ops.segment_sum(
+        upd_s, idx_s, num_segments=num_rows, indices_are_sorted=True
+    )
+
+
 def _scatter_add_scalar(
     vec: jax.Array, desc: SparseGrad, values: jax.Array, scale
 ) -> jax.Array:
@@ -245,14 +296,13 @@ def _repr_adam_dense_update(state, table, descs, lr, lam, beta1, beta2, eps):
 
 def _repr_adam_full(state, table, descs, lr, lam, beta1, beta2, eps):
     # DENSE_UPDATE_DENSE_VARIANCE mode (updates_adam.cu:203-213,253-282,
-    # 312-328): dense m and v with L2 folded into the moments.
-    m = beta1 * state.m
-    agg = jnp.zeros_like(table)
-    for desc in descs:
-        m = _scatter_add(m, desc, 1.0 - beta1)
-        agg = _scatter_add(agg, desc, 1.0)
+    # 312-328): dense m and v with L2 folded into the moments.  The m update
+    # and the squared-gradient aggregate consume the *same* dense scatter, so
+    # it is computed once (the reference scatters twice).
+    scattered = _sorted_segment_accumulate(table.shape[0], tuple(descs))
+    m = beta1 * state.m + (1.0 - beta1) * scattered
     m = m - (1.0 - beta1) * lam * table
-    agg = agg - lam * table
+    agg = scattered - lam * table
     v = beta2 * state.v + (1.0 - beta2) * jnp.square(agg)
     bc = _adam_bias_correction(beta1, beta2, state.t, table.dtype)
     table = table + lr * bc * m / (jnp.sqrt(v) + eps)

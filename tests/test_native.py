@@ -1,0 +1,119 @@
+"""Differential tests: native (C++) corpus ingestion vs the Python pipeline.
+
+The Python implementation is the semantic oracle; the native path must
+produce identical packed corpora for the same inputs.  Skipped when the
+library hasn't been built (``make -C native``).
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from cunvsm_tpu.config import DataConfig
+from cunvsm_tpu.data import native
+from cunvsm_tpu.data.corpus import build_corpus
+from cunvsm_tpu.data.text import iter_trectext
+
+REPO_ROOT = os.path.join(os.path.dirname(__file__), "..")
+
+
+def ensure_built():
+    if native.available():
+        return True
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.join(REPO_ROOT, "native")],
+            check=True,
+            capture_output=True,
+        )
+    except Exception:
+        return False
+    return native.available()
+
+
+pytestmark = pytest.mark.skipif(
+    not ensure_built(), reason="native library unavailable"
+)
+
+
+@pytest.fixture
+def trectext(tmp_path):
+    rng = np.random.RandomState(3)
+    words = [f"w{i}" for i in range(40)] + ["42", "3.5", "the"]
+    path = tmp_path / "docs.trectext"
+    with open(path, "w") as f:
+        for d in range(25):
+            n = rng.randint(2, 40)
+            body = " ".join(words[rng.randint(len(words))] for _ in range(n))
+            f.write(
+                f"<DOC>\n<DOCNO> doc{d} </DOCNO>\n<TITLE>Title {d}</TITLE>\n"
+                f"<TEXT>\n{body}\n</TEXT>\n</DOC>\n"
+            )
+    return str(path)
+
+
+CONFIGS = [
+    DataConfig(max_vocabulary_size=0, min_document_frequency=0,
+               max_document_frequency=0),
+    DataConfig(max_vocabulary_size=10, min_document_frequency=0,
+               max_document_frequency=0),
+    DataConfig(max_vocabulary_size=0, min_document_frequency=3,
+               max_document_frequency=0.5),
+    DataConfig(max_vocabulary_size=0, min_document_frequency=0,
+               max_document_frequency=0, include_oov=True),
+    DataConfig(max_vocabulary_size=0, min_document_frequency=0,
+               max_document_frequency=0, include_digits=True),
+    DataConfig(max_vocabulary_size=0, min_document_frequency=0,
+               max_document_frequency=0, documents_cutoff=7),
+]
+
+
+@pytest.mark.parametrize("cfg_idx", range(len(CONFIGS)))
+def test_native_matches_python(trectext, cfg_idx):
+    cfg = CONFIGS[cfg_idx]
+    window = 4
+    py = build_corpus(iter_trectext(trectext), cfg, window)
+    nat = native.build_corpus_native(trectext, cfg, window)
+
+    assert nat.docnos == py.docnos
+    assert nat.vocab.terms == py.vocab.terms
+    np.testing.assert_array_equal(nat.vocab.term_freq, py.vocab.term_freq)
+    assert nat.vocab.total_terms == py.vocab.total_terms
+    np.testing.assert_array_equal(nat.tokens, py.tokens)
+    np.testing.assert_array_equal(nat.doc_offsets, py.doc_offsets)
+    np.testing.assert_array_equal(nat.index_lengths, py.index_lengths)
+
+
+def test_native_with_stopwords(trectext, tmp_path):
+    stop = tmp_path / "stop.txt"
+    stop.write_text("the\nw0\n")
+    cfg = CONFIGS[0]
+    from cunvsm_tpu.data.text import load_stopwords
+
+    py = build_corpus(
+        iter_trectext(trectext), cfg, 4,
+        stopwords=load_stopwords(str(stop)),
+    )
+    nat = native.build_corpus_native(
+        trectext, cfg, 4, stopword_path=str(stop)
+    )
+    assert nat.vocab.terms == py.vocab.terms
+    np.testing.assert_array_equal(nat.tokens, py.tokens)
+
+
+def test_native_cranfield_if_available():
+    path = "/root/reference/test_data/cranfield_collection/cranfield.trectext"
+    if not os.path.exists(path):
+        pytest.skip("reference test data unavailable")
+    cfg = DataConfig(
+        max_vocabulary_size=65536,
+        min_document_frequency=0,
+        max_document_frequency=0.5,
+    )
+    py = build_corpus(iter_trectext(path), cfg, 10)
+    nat = native.build_corpus_native(path, cfg, 10)
+    assert nat.docnos == py.docnos
+    assert nat.vocab.terms == py.vocab.terms
+    np.testing.assert_array_equal(nat.tokens, py.tokens)
