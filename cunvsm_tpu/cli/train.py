@@ -87,6 +87,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference restarts from scratch).")
     p.add_argument("--entity_similarity_weight", type=float, default=0.0)
     p.add_argument("--term_similarity_weight", type=float, default=0.0)
+    p.add_argument("--check_gradients", action="store_true",
+                   help="Verify every batch's gradients by finite "
+                        "differences before updating (slow; use float64 on "
+                        "CPU, main.cu:414-425 parity).")
+    p.add_argument("--profile_dir", default=None,
+                   help="Capture a jax.profiler trace of the first epoch.")
+    p.add_argument("--log_every", type=int, default=0,
+                   help="Per-batch cost/progress/ETA logging interval.")
     p.add_argument("--output", required=True)
     p.add_argument("--loglevel", default="INFO")
     return p
@@ -180,6 +188,9 @@ def main(argv=None) -> int:
         dump_initial_model=args.dump_initial_model,
         dump_every=args.dump_every,
         resume=args.resume,
+        check_gradients=args.check_gradients,
+        profile_dir=args.profile_dir,
+        log_every=args.log_every,
     )
     logging.info(
         "Finished: %d epochs, %.1f batches/s overall.",

@@ -95,7 +95,19 @@ def train_model(
     prefetch_depth: int = 10,
     dtype=jnp.float32,
     epoch_callback: Optional[Callable] = None,
+    check_gradients: bool = False,
+    profile_dir: Optional[str] = None,
+    log_every: int = 0,
 ) -> TrainResult:
+    """Train a model over a corpus.
+
+    ``check_gradients`` verifies every batch's analytic gradients against
+    central finite differences before updating (the --check_gradients flow,
+    main.cu:414-425) — float64/CPU recommended.  ``profile_dir`` captures a
+    jax.profiler trace of the first training epoch (the NVTX-range analog,
+    main.cu:386-463).  ``log_every`` emits per-batch cost/progress/ETA lines
+    (the VLOG(1) batch logging, main.cu:445-451).
+    """
     kind = objective_kind_from_config(cfg)
     key = jax.random.PRNGKey(cfg.seed)
 
@@ -173,15 +185,39 @@ def train_model(
     epoch_costs: List[float] = []
     total_batches = 0
     train_start = time.time()
+    batches_per_epoch = max(source.batches_per_epoch(), 1)
+
+    if check_gradients:
+        from cunvsm_tpu.train.gradcheck import check_gradients as run_check
+
+    profiling = False
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+        profiling = True
 
     for epoch in range(start_epoch, cfg.num_epochs + 1):
         epoch_start = time.time()
         batch_costs = []
         for batch in epoch_stream():
             step_key = jax.random.fold_in(key, total_batches)
+            if check_gradients:
+                run_check(kind, params, batch, step_key, desc, cfg)
             params, opt_state, cost = step(params, opt_state, batch, step_key)
             batch_costs.append(cost)
             total_batches += 1
+            if log_every and total_batches % log_every == 0:
+                done = len(batch_costs) / batches_per_epoch
+                elapsed = time.time() - epoch_start
+                eta = elapsed / max(done, 1e-9) * (1.0 - done)
+                logger.info(
+                    "Batch %d (epoch %d): cost=%.6f progress=%.1f%% "
+                    "eta=%.0fs",
+                    total_batches,
+                    epoch,
+                    float(cost),
+                    100.0 * done,
+                    eta,
+                )
             if (
                 dump_every > 0
                 and output_prefix
@@ -207,6 +243,10 @@ def train_model(
             duration,
             [f"{c:.4f}" for c in epoch_costs[-5:]],
         )
+        if profiling:
+            # Capture the first trained epoch only.
+            jax.profiler.stop_trace()
+            profiling = False
         if output_prefix:
             ckpt.save_model_hdf5(params, output_prefix, epoch)
             ckpt.save_training_state(output_prefix, params, opt_state, epoch)

@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""TREC ad-hoc evaluation protocol over validation/test topic splits
+(the TOIS 2018 §3.3 Robust04 protocol; splits ship in
+/root/reference/resources/adhoc-splits/<collection>/{validation,test}).
+
+Trains NVSM, ranks every dumped epoch on the validation topics, selects the
+best epoch by validation MAP, and reports test MAP at that epoch — plus the
+alpha=0.5 QLM fusion numbers.
+
+    python scripts/rank_adhoc.py --corpus robust04.trectext \
+        --topics topics.txt --qrels qrels.txt \
+        --splits /root/reference/resources/adhoc-splits/disk4_disk5_no-cr \
+        --workdir /tmp/robust04 [--num_epochs 100]
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--topics", required=True)
+    p.add_argument("--qrels", required=True)
+    p.add_argument("--splits", required=True,
+                   help="directory with 'validation' and 'test' topic-id lists")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--num_epochs", type=int, default=100)
+    p.add_argument("--eval_every", type=int, default=5,
+                   help="validate every N epochs")
+    p.add_argument("--word_repr_size", type=int, default=300)
+    p.add_argument("--entity_repr_size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=51200)
+    p.add_argument("--stopwords", default=None)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+    logging.basicConfig(level="INFO", format="%(asctime)s %(message)s")
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from sklearn.feature_extraction.text import ENGLISH_STOP_WORDS
+
+    from cunvsm_tpu.config import (
+        AdamConfig,
+        AdamMode,
+        DataConfig,
+        ModelDesc,
+        Nonlinearity,
+        TrainConfig,
+        UpdateMethod,
+    )
+    from cunvsm_tpu.data.corpus import load_corpus
+    from cunvsm_tpu.data.text import load_stopwords, tokenize
+    from cunvsm_tpu.io.trec import read_qrels, read_topics, write_run
+    from cunvsm_tpu.query.engine import QueryEngine, load_query_engine
+    from cunvsm_tpu.query.fusion import fuse_fixed_alpha
+    from cunvsm_tpu.query.metrics import evaluate_run
+    from cunvsm_tpu.query.qlm import build_qlm_index, qlm_rank
+    from cunvsm_tpu.train.trainer import train_model
+
+    os.makedirs(args.workdir, exist_ok=True)
+    stopwords = (
+        load_stopwords(args.stopwords)
+        if args.stopwords
+        else frozenset(ENGLISH_STOP_WORDS)
+    )
+
+    def read_ids(path):
+        with open(path) as f:
+            return [line.strip() for line in f if line.strip()]
+
+    validation_ids = set(read_ids(os.path.join(args.splits, "validation")))
+    test_ids = set(read_ids(os.path.join(args.splits, "test")))
+
+    topics = read_topics(args.topics)
+    queries = {q: tokenize(t, stopwords) for q, t in topics.items()}
+    qrels = read_qrels(args.qrels)
+    val_queries = {q: t for q, t in queries.items() if q in validation_ids}
+    test_queries = {q: t for q, t in queries.items() if q in test_ids}
+    val_qrels = {q: r for q, r in qrels.items() if q in validation_ids}
+    test_qrels = {q: r for q, r in qrels.items() if q in test_ids}
+    logging.info(
+        "%d validation / %d test topics.", len(val_queries), len(test_queries)
+    )
+
+    window = 10
+    data_cfg = DataConfig(
+        corpus_path=args.corpus,
+        max_vocabulary_size=65536,
+        min_document_frequency=0,
+        max_document_frequency=0.5,
+    )
+    corpus = load_corpus(data_cfg, window, args.stopwords)
+    logging.info("Corpus: %d docs, %d terms.", corpus.num_docs, corpus.vocab.size)
+
+    desc = ModelDesc(
+        word_repr_size=args.word_repr_size,
+        entity_repr_size=args.entity_repr_size,
+        nonlinearity=Nonlinearity.HARD_TANH,
+        batch_normalization=True,
+    )
+    cfg = TrainConfig(
+        num_epochs=args.num_epochs,
+        batch_size=args.batch_size,
+        window_size=window,
+        num_random_entities=10,
+        learning_rate=1e-3,
+        regularization_lambda=1e-2,
+        update_method=UpdateMethod.ADAM,
+        adam=AdamConfig(mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
+        seed=1,
+    )
+    prefix = os.path.join(args.workdir, "nvsm")
+
+    validation_curve = []
+
+    def validate(epoch, params, cost):
+        if epoch % args.eval_every and epoch != cfg.num_epochs:
+            return
+        engine = QueryEngine(
+            params,
+            corpus.vocab.terms,
+            corpus.docnos,
+            nonlinearity=None,  # NVSM queried --linear
+        )
+        run = engine.rank(val_queries, top_k=1000)
+        m = evaluate_run(run, val_qrels, measures=("map",))["map"]
+        validation_curve.append((epoch, m))
+        logging.info("Epoch %d validation MAP = %.4f", epoch, m)
+
+    train_model(desc, cfg, corpus, output_prefix=prefix, epoch_callback=validate)
+
+    best_epoch, best_val = max(validation_curve, key=lambda x: x[1])
+    logging.info(
+        "Best epoch %d (validation MAP %.4f).", best_epoch, best_val
+    )
+
+    engine = load_query_engine(prefix, best_epoch, nonlinearity=None)
+    nvsm_run = engine.rank(test_queries, top_k=1000)
+    write_run(nvsm_run, os.path.join(args.workdir, "nvsm_test.run"), "nvsm")
+    results = {
+        "best_epoch": best_epoch,
+        "validation_map": best_val,
+        "nvsm_test_map": evaluate_run(
+            nvsm_run, test_qrels, measures=("map",)
+        )["map"],
+    }
+
+    qlm_index = build_qlm_index(corpus)
+    for name, smoothing, prf in [
+        ("qlm_jm_prf", "jm", True),
+        ("qlm_dirichlet_prf", "dirichlet", True),
+    ]:
+        qlm_run = qlm_rank(qlm_index, test_queries, smoothing=smoothing, prf=prf)
+        results[f"{name}_test_map"] = evaluate_run(
+            qlm_run, test_qrels, measures=("map",)
+        )["map"]
+        fused = fuse_fixed_alpha(nvsm_run, qlm_run, 0.5)
+        results[f"nvsm+{name}_test_map"] = evaluate_run(
+            fused, test_qrels, measures=("map",)
+        )["map"]
+
+    print(json.dumps(results, indent=2, sort_keys=True))
+    with open(os.path.join(args.workdir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2, sort_keys=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

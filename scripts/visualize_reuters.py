@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Reuters-21578 end-to-end visualization (visualize-reuters-collection.sh
+rebuild): SGML -> TRECTEXT + classes -> NVSM training -> per-epoch t-SNE
+plots of the document embeddings colored by topic.
+
+Requires the Reuters-21578 SGML files locally (the reference downloads them;
+this environment has no egress):
+
+    python scripts/visualize_reuters.py --sgm /path/to/*.sgm \
+        --workdir /tmp/reuters [--num_epochs 15]
+
+The per-epoch plots land in <workdir>/plots/epoch_<N>.png; stitch them into
+an animation with e.g. imagemagick's convert if available.
+"""
+
+import argparse
+import glob
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--sgm", nargs="+", required=True)
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--num_epochs", type=int, default=15)
+    p.add_argument("--word_repr_size", type=int, default=300)
+    p.add_argument("--entity_repr_size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=4096)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+    logging.basicConfig(level="INFO")
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from cunvsm_tpu.cli import extract_reuters, visualize
+    from cunvsm_tpu.config import (
+        AdamConfig,
+        AdamMode,
+        DataConfig,
+        ModelDesc,
+        Nonlinearity,
+        TrainConfig,
+        UpdateMethod,
+    )
+    from cunvsm_tpu.data.corpus import load_corpus
+    from cunvsm_tpu.train.trainer import train_model
+
+    os.makedirs(args.workdir, exist_ok=True)
+    plots = os.path.join(args.workdir, "plots")
+    os.makedirs(plots, exist_ok=True)
+    prefix = os.path.join(args.workdir, "reuters")
+    classes = os.path.join(args.workdir, "classes.txt")
+
+    sgm_files = []
+    for pattern in args.sgm:
+        sgm_files.extend(sorted(glob.glob(pattern)))
+    rc = extract_reuters.main(
+        sgm_files
+        + [
+            "--trectext_out_prefix", prefix,
+            "--document_classification_out", classes,
+        ]
+    )
+    if rc != 0:
+        return rc
+
+    window = 10
+    data_cfg = DataConfig(
+        corpus_path=f"{prefix}_0.trectext",
+        max_vocabulary_size=65536,
+        min_document_frequency=2,
+        max_document_frequency=0.5,
+    )
+    corpus = load_corpus(data_cfg, window)
+    logging.info("Corpus: %d docs, %d terms.", corpus.num_docs, corpus.vocab.size)
+
+    desc = ModelDesc(
+        word_repr_size=args.word_repr_size,
+        entity_repr_size=args.entity_repr_size,
+        nonlinearity=Nonlinearity.HARD_TANH,
+        batch_normalization=True,
+    )
+    cfg = TrainConfig(
+        num_epochs=args.num_epochs,
+        batch_size=args.batch_size,
+        window_size=window,
+        num_random_entities=10,
+        learning_rate=1e-3,
+        regularization_lambda=1e-2,
+        update_method=UpdateMethod.ADAM,
+        adam=AdamConfig(mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
+        seed=1,
+    )
+    model_prefix = os.path.join(args.workdir, "model")
+
+    def plot_epoch(epoch, params, cost):
+        visualize.main(
+            [
+                "--model", model_prefix,
+                "--epoch", str(epoch),
+                "--object_classification", classes,
+                "--filter_unclassified",
+                "--plot_out", os.path.join(plots, f"epoch_{epoch:03d}.png"),
+            ]
+        )
+
+    train_model(
+        desc,
+        cfg,
+        corpus,
+        output_prefix=model_prefix,
+        epoch_callback=plot_epoch,
+    )
+    logging.info("Plots in %s.", plots)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

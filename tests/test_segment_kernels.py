@@ -1,0 +1,71 @@
+"""Interpret-mode correctness tests for the Pallas sorted-segment-sum."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cunvsm_tpu.ops.segment_kernels import sorted_segment_sum_pallas
+
+
+def reference(upd, rows, num_rows):
+    out = np.zeros((num_rows, upd.shape[1]))
+    for r, u in zip(np.asarray(rows), np.asarray(upd)):
+        out[r] += u
+    return out
+
+
+@pytest.mark.parametrize(
+    "U,num_rows,d,tile_rows,chunk",
+    [
+        (1000, 64, 8, 16, 128),
+        (513, 100, 16, 32, 64),  # non-divisible everything
+        (4096, 256, 128, 128, 256),
+        (100, 1024, 8, 128, 128),  # sparse: most rows empty
+    ],
+)
+def test_matches_reference(U, num_rows, d, tile_rows, chunk):
+    rng = np.random.RandomState(0)
+    rows = np.sort(rng.randint(0, num_rows, U)).astype(np.int32)
+    upd = rng.randn(U, d).astype(np.float32)
+    got = sorted_segment_sum_pallas(
+        jnp.asarray(upd),
+        jnp.asarray(rows),
+        num_rows,
+        tile_rows=tile_rows,
+        chunk=chunk,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), reference(upd, rows, num_rows), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_skewed_rows():
+    # Zipf-like skew: one hot row receives most updates.
+    rng = np.random.RandomState(1)
+    U, num_rows, d = 2048, 64, 8
+    rows = np.concatenate(
+        [np.zeros(1500, np.int32), rng.randint(1, num_rows, U - 1500)]
+    )
+    rows = np.sort(rows).astype(np.int32)
+    upd = rng.randn(U, d).astype(np.float32)
+    got = sorted_segment_sum_pallas(
+        jnp.asarray(upd), jnp.asarray(rows), num_rows,
+        tile_rows=16, chunk=128, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), reference(upd, rows, num_rows), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_empty_updates():
+    got = sorted_segment_sum_pallas(
+        jnp.zeros((0, 8), jnp.float32),
+        jnp.zeros((0,), jnp.int32),
+        32,
+        tile_rows=16,
+        chunk=64,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.zeros((32, 8)))
