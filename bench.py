@@ -5,13 +5,21 @@ update, the SURVEY.md §3.1 hot loop) in n-gram->document training pairs per
 second on one chip, at the reference's published hyperparameters
 (functions.sh:369-400 + the NVSM preset functions.sh:263-271): batch 51200,
 window 10, d_word 300, d_entity 256, 10 negatives, vocab 65536, hard_tanh +
-batch normalization, full_adam.
+batch normalization, full_adam, over a collection-scale (262k-document)
+entity table.
+
+Measurement methodology: K steps are chained inside one jit'd lax.scan and
+the timing barrier is a device-to-host fetch of the final costs — on this
+environment's remote-TPU tunnel, block_until_ready returns before execution
+finishes and per-step dispatch costs milliseconds, so naive per-step timing
+is wrong in both directions.  The scan also reflects how the framework
+actually trains (multi-step dispatch amortization).
 
 Baseline constant: the CUDA reference publishes no throughput numbers
-(BASELINE.md); we anchor vs_baseline to an estimated 500k pairs/s for the
-original single-GPU implementation (per-batch ~24 GFLOP of GEMMs plus dense
-Adam sweeps on a ~6 TFLOPS sm_52-era card at the same batch size), so
-vs_baseline = measured / 5e5.  The BASELINE.json target is >5x.
+(BASELINE.md); vs_baseline is anchored to an estimated 500k pairs/s for the
+original single-GPU implementation (per-batch ~24 GFLOP of GEMMs plus an
+atomicAdd scatter and dense Adam sweeps on an sm_52-era card at the same
+batch size), so vs_baseline = measured / 5e5.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -23,13 +31,11 @@ import time
 
 import numpy as np
 
-
 BASELINE_PAIRS_PER_SEC = 500_000.0
 
 NUM_WORDS = 65536
 NUM_ENTITIES = 262144  # collection scale (~Robust04 / 0.5M order)
-WARMUP_STEPS = 3
-TIMED_STEPS = 20
+SCAN_STEPS = 20
 
 
 def main():
@@ -69,40 +75,56 @@ def main():
     params = init_params(key, NUM_WORDS, NUM_ENTITIES, desc)
     optimizer = Optimizer(cfg)
     opt_state = optimizer.init(params)
-    step = make_train_step(desc, cfg)
+    step = make_train_step(desc, cfg, jit=False)
 
     rng = np.random.RandomState(0)
     B, W = cfg.batch_size, cfg.window_size
-    batch = TextEntityBatch(
-        features=jnp.asarray(rng.randint(0, NUM_WORDS, (B, W)), jnp.int32),
-        feature_weights=jnp.ones((B, W), jnp.float32),
-        labels=jnp.asarray(rng.randint(0, NUM_ENTITIES, (B,)), jnp.int32),
-        weights=jnp.ones((B,), jnp.float32),
-    )
-    batch = jax.device_put(batch)
-
-    for i in range(WARMUP_STEPS):
-        params, opt_state, cost = step(
-            params, opt_state, batch, jax.random.fold_in(key, i)
+    batch = jax.device_put(
+        TextEntityBatch(
+            features=jnp.asarray(rng.randint(0, NUM_WORDS, (B, W)), jnp.int32),
+            feature_weights=jnp.ones((B, W), jnp.float32),
+            labels=jnp.asarray(
+                rng.randint(0, NUM_ENTITIES, (B,)), jnp.int32
+            ),
+            weights=jnp.ones((B,), jnp.float32),
         )
-    cost.block_until_ready()
+    )
+
+    def scan_steps(params, opt_state, batch, key):
+        def body(carry, k):
+            p, o = carry
+            p, o, c = step(p, o, batch, k)
+            return (p, o), c
+
+        (p, o), costs = jax.lax.scan(
+            body, (params, opt_state), jax.random.split(key, SCAN_STEPS)
+        )
+        return p, o, costs
+
+    run = jax.jit(scan_steps, donate_argnums=(0, 1))
+
+    # Warmup (compile + one real execution, verified by D2H).
+    params, opt_state, costs = run(params, opt_state, batch, key)
+    np.asarray(costs)
 
     start = time.time()
-    for i in range(TIMED_STEPS):
-        params, opt_state, cost = step(
-            params, opt_state, batch, jax.random.fold_in(key, 100 + i)
-        )
-    cost.block_until_ready()
+    params, opt_state, costs = run(
+        params, opt_state, batch, jax.random.PRNGKey(1)
+    )
+    costs = np.asarray(costs)  # D2H barrier: waits for real completion
     elapsed = time.time() - start
+    assert np.all(np.isfinite(costs))
 
-    pairs_per_sec = cfg.batch_size * TIMED_STEPS / elapsed
+    pairs_per_sec = cfg.batch_size * SCAN_STEPS / elapsed
     print(
         json.dumps(
             {
                 "metric": "train_ngram_pairs_per_sec",
                 "value": round(pairs_per_sec, 1),
                 "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+                "vs_baseline": round(
+                    pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3
+                ),
             }
         )
     )

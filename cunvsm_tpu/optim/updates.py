@@ -153,14 +153,14 @@ def _sorted_segment_accumulate(
     ptr = jnp.concatenate(ptr_parts) if len(descs) > 1 else ptr_parts[0]
     wts = jnp.concatenate(w_parts) if len(descs) > 1 else w_parts[0]
 
-    order = jnp.argsort(idx)
-    idx_s = jnp.take(idx, order)
-    upd_s = jnp.take(grads, jnp.take(ptr, order), axis=0) * jnp.take(
-        wts, order
-    )[:, None].astype(grads.dtype)
-    return jax.ops.segment_sum(
-        upd_s, idx_s, num_segments=num_rows, indices_are_sorted=True
+    # One fused multi-operand sort is cheaper on TPU than argsort + takes.
+    idx_s, ptr_s, wts_s = jax.lax.sort((idx, ptr, wts), num_keys=1)
+    upd_s = jnp.take(grads, ptr_s, axis=0) * wts_s[:, None].astype(
+        grads.dtype
     )
+    from cunvsm_tpu.ops.segment_kernels import sorted_segment_sum
+
+    return sorted_segment_sum(upd_s, idx_s, num_rows)
 
 
 def _scatter_add_scalar(
