@@ -135,6 +135,41 @@ def make_train_step(
     return step
 
 
+def make_multistep_train_step(
+    desc: ModelDesc,
+    cfg: TrainConfig,
+    num_steps: int,
+    kind: Optional[ObjectiveKind] = None,
+):
+    """K chained training steps in one compiled program via lax.scan.
+
+    Takes batches stacked on a leading [num_steps, ...] axis and a single
+    key (split per step inside).  Amortizes per-step host dispatch — a real
+    cost both on remote-TPU tunnels (milliseconds per dispatch) and at pod
+    scale — and lets XLA overlap consecutive steps' transfers.  Returns
+    (params, opt_state, costs[num_steps]).
+    """
+    if kind is None:
+        kind = objective_kind_from_config(cfg)
+    step = make_train_step(desc, cfg, kind, jit=False)
+
+    def multistep(params, opt_state, stacked_batches, key):
+        keys = jax.random.split(key, num_steps)
+
+        def body(carry, inputs):
+            p, o = carry
+            batch, k = inputs
+            p, o, cost = step(p, o, batch, k)
+            return (p, o), cost
+
+        (params, opt_state), costs = jax.lax.scan(
+            body, (params, opt_state), (stacked_batches, keys)
+        )
+        return params, opt_state, costs
+
+    return jax.jit(multistep, donate_argnums=(0, 1))
+
+
 def make_cost_fn(desc: ModelDesc, cfg: TrainConfig, kind: ObjectiveKind):
     """Forward-only cost (Model::get_cost, model.cu:154-174). The same key
     replays the same negative samples."""

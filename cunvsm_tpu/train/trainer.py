@@ -49,6 +49,7 @@ from cunvsm_tpu.models.params import ModelParams, init_params
 from cunvsm_tpu.optim.updates import Optimizer
 from cunvsm_tpu.train.step import (
     ObjectiveKind,
+    make_multistep_train_step,
     make_train_step,
     objective_kind_from_config,
 )
@@ -98,6 +99,7 @@ def train_model(
     check_gradients: bool = False,
     profile_dir: Optional[str] = None,
     log_every: int = 0,
+    steps_per_call: int = 1,
 ) -> TrainResult:
     """Train a model over a corpus.
 
@@ -106,7 +108,10 @@ def train_model(
     main.cu:414-425) — float64/CPU recommended.  ``profile_dir`` captures a
     jax.profiler trace of the first training epoch (the NVTX-range analog,
     main.cu:386-463).  ``log_every`` emits per-batch cost/progress/ETA lines
-    (the VLOG(1) batch logging, main.cu:445-451).
+    (the VLOG(1) batch logging, main.cu:445-451).  ``steps_per_call`` > 1
+    chains that many steps inside one compiled scan (dispatch amortization;
+    incompatible with check_gradients and intra-group dump_every
+    granularity).
     """
     kind = objective_kind_from_config(cfg)
     key = jax.random.PRNGKey(cfg.seed)
@@ -151,10 +156,30 @@ def train_model(
         ckpt.save_meta(meta, output_prefix)
         ckpt.save_corpus_sidecars(corpus, output_prefix)
 
+    multistep = None
+    if steps_per_call > 1:
+        assert not check_gradients, (
+            "check_gradients requires steps_per_call=1"
+        )
+        multistep = make_multistep_train_step(desc, cfg, steps_per_call, kind)
+
     def epoch_stream():
         batches = source.epoch_batches()
         if kind != ObjectiveKind.TEXT_ENTITY:
             batches = zip_sources(batches, sim_iter)
+        if steps_per_call > 1:
+            def grouped(it):
+                group = []
+                for b in it:
+                    group.append(b)
+                    if len(group) == steps_per_call:
+                        yield jax.tree_util.tree_map(
+                            lambda *xs: np.stack(xs), *group
+                        )
+                        group = []
+                for b in group:  # tail runs as single steps
+                    yield b
+            batches = grouped(batches)
         return Prefetcher(
             (_to_device_batch(b) for b in batches), depth=prefetch_depth
         )
@@ -200,11 +225,27 @@ def train_model(
         batch_costs = []
         for batch in epoch_stream():
             step_key = jax.random.fold_in(key, total_batches)
-            if check_gradients:
-                run_check(kind, params, batch, step_key, desc, cfg)
-            params, opt_state, cost = step(params, opt_state, batch, step_key)
-            batch_costs.append(cost)
-            total_batches += 1
+            # Single batches have 2-D leading leaves ([B, W] features /
+            # [B, 2] ids); stacked groups have a [K, ...] axis on top.
+            is_group = (
+                multistep is not None
+                and jax.tree_util.tree_leaves(batch)[0].ndim > 2
+            )
+            if is_group:
+                params, opt_state, costs = multistep(
+                    params, opt_state, batch, step_key
+                )
+                batch_costs.extend(costs[i] for i in range(steps_per_call))
+                total_batches += steps_per_call
+                cost = costs[-1]
+            else:
+                if check_gradients:
+                    run_check(kind, params, batch, step_key, desc, cfg)
+                params, opt_state, cost = step(
+                    params, opt_state, batch, step_key
+                )
+                batch_costs.append(cost)
+                total_batches += 1
             if log_every and total_batches % log_every == 0:
                 done = len(batch_costs) / batches_per_epoch
                 elapsed = time.time() - epoch_start
