@@ -57,6 +57,53 @@ class Corpus:
     def docno_to_id(self) -> Dict[str, int]:
         return {d: i for i, d in enumerate(self.docnos)}
 
+    # -- packed on-disk format (skip re-tokenization at collection scale) ---
+
+    def save(self, path: str) -> None:
+        """Persist the packed corpus (npz + sidecar term/docno strings)."""
+        np.savez_compressed(
+            path if path.endswith(".npz") else path + ".npz",
+            tokens=self.tokens,
+            doc_offsets=self.doc_offsets,
+            index_lengths=self.index_lengths,
+            term_freq=self.vocab.term_freq,
+            index_term_ids=self.vocab.index_term_ids,
+            total_terms=np.asarray(self.vocab.total_terms),
+            include_oov=np.asarray(int(self.vocab.include_oov)),
+            window_size=np.asarray(self.window_size),
+        )
+        base = path[:-4] if path.endswith(".npz") else path
+        with open(base + ".vocab.txt", "w") as f:
+            f.write("\n".join(self.vocab.terms) + "\n")
+        with open(base + ".docnos.txt", "w") as f:
+            f.write("\n".join(self.docnos) + "\n")
+
+    @classmethod
+    def load(cls, path: str) -> "Corpus":
+        npz_path = path if path.endswith(".npz") else path + ".npz"
+        base = npz_path[:-4]
+        data = np.load(npz_path)
+        with open(base + ".vocab.txt") as f:
+            terms = f.read().split("\n")[:-1]
+        with open(base + ".docnos.txt") as f:
+            docnos = f.read().split("\n")[:-1]
+        vocab = Vocabulary(
+            terms=terms,
+            term_to_id={t: i for i, t in enumerate(terms) if t},
+            term_freq=data["term_freq"],
+            total_terms=int(data["total_terms"]),
+            include_oov=bool(int(data["include_oov"])),
+            index_term_ids=data["index_term_ids"],
+        )
+        return cls(
+            vocab=vocab,
+            tokens=data["tokens"],
+            doc_offsets=data["doc_offsets"],
+            index_lengths=data["index_lengths"],
+            docnos=docnos,
+            window_size=int(data["window_size"]),
+        )
+
 
 def build_corpus(
     docs: Iterable[Tuple[str, str]],
@@ -127,8 +174,17 @@ def load_corpus(
 
     Uses the C++ ingestion library (native/corpus.cpp) when it is built and
     the input is a single TRECTEXT file without a document list; falls back
-    to the pure-Python pipeline otherwise.
+    to the pure-Python pipeline otherwise.  A ``.npz`` path loads a packed
+    corpus previously written with ``Corpus.save`` (no re-tokenization).
     """
+    if cfg.corpus_path.endswith(".npz"):
+        packed = Corpus.load(cfg.corpus_path)
+        if packed.window_size != window_size:
+            raise ValueError(
+                f"packed corpus was built with window "
+                f"{packed.window_size}, requested {window_size}"
+            )
+        return packed
     if (
         use_native
         and os.path.isfile(cfg.corpus_path)

@@ -1,30 +1,40 @@
-"""Pallas TPU kernel for sorted segment-sum (the scatter-add hot path).
+"""Pallas TPU kernels for the scatter-add hot path.
 
-Profile motivation: XLA lowers both `scatter-add` and sorted `segment_sum`
-on TPU to a serialized update loop running at ~36 GB/s — it dominates the
-training step (the reference's equivalent is the atomicAdd scatter kernel,
-storage.cu:37-49).  This kernel reformulates the accumulation as a streaming
-CSR-style reduction:
+Profile motivation: XLA lowers scatter-add on TPU to a serialized update
+loop (~36 GB/s); even its sorted segment-sum path runs at ~150 GB/s.  The
+training step's dominant cost is accumulating per-instance gradients into
+the embedding tables (the reference's atomicAdd scatter, storage.cu:37-49).
 
-* updates are pre-sorted by destination row (XLA sort, cheap);
-* the destination table is processed in row tiles; a scalar-prefetched
-  ``tile_starts`` array gives each tile its slice of the sorted update
-  stream (row-aligned, so tiles never overlap);
-* each tile DMAs fixed-size chunks of updates into VMEM with a double
-  buffer and accumulates them with a one-hot matmul on the MXU:
-  ``acc += onehot(local_rows)^T @ chunk`` — turning the serialized scatter
-  into dense MXU work;
-* per-tile trip counts are dynamic (a `while_loop`), so Zipf-skewed rows
-  (frequent vocabulary terms) cost only their own updates.
+``chunk_aligned_segment_sum`` reformulates the accumulation as fully
+auto-pipelined dense work:
 
-The public entry point ``sorted_segment_sum`` falls back to
-``jax.ops.segment_sum`` on non-TPU backends and for interpret-mode testing.
+* updates are sorted by destination row (one fused multi-operand XLA sort);
+* the sorted stream is laid out so every destination row-tile owns a
+  whole number of fixed-size chunks ("chunk alignment"), computed *without
+  scatters* via vectorized searchsorted index arithmetic;
+* the kernel runs one grid step per chunk: the chunk's rows/updates arrive
+  as auto-pipelined VMEM input blocks, a one-hot matrix built from the row
+  ids turns the accumulation into an MXU matmul, and the output row-tile
+  block is revisited (stays in VMEM) across a tile's consecutive chunks —
+  the canonical Pallas reduction pattern;
+* per-tile chunk counts are data-dependent but the total chunk count is a
+  static bound (U/C + T), so Zipf-skewed rows cost only their own updates
+  plus at most one padded chunk per tile.
+
+Design note: an earlier variant used manual double-buffered DMA with a
+while-loop per tile; this environment's Mosaic build miscompiles matmuls
+whose operands derive from DMA'd scratch (bisect: int32-scratch-fed one-hot
+LHS crashes the compiler), so everything stays in auto-pipelined blocks.
+
+The public ``sorted_segment_sum`` entry point dispatches to the kernel on
+TPU and to ``jax.ops.segment_sum`` elsewhere.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+import os
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,151 +44,148 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    tile_starts_ref,  # [T+1] int32, scalar-prefetched
-    rows_ref,  # [U_pad, 1] int32 in ANY/HBM (sorted)
-    upd_ref,  # [U_pad, d] float32 in ANY/HBM
-    out_ref,  # [R, d] VMEM tile
-    rows_scratch,  # [2, C, 1] int32 VMEM
-    upd_scratch,  # [2, C, d] float32 VMEM
-    acc_scratch,  # [R, d] float32 VMEM
-    sems,  # DMA semaphores [2, 2]
+    chunk_tile_ref,  # [K] int32: tile id of each chunk (scalar prefetch)
+    first_flag_ref,  # [K] int32: 1 iff chunk is its tile's first (prefetch)
+    rows_ref,  # [C, 1] int32 block: padded sorted row ids
+    upd_ref,  # [C, d] block: padded sorted updates
+    out_ref,  # [R, d] tile block (revisited across a tile's chunks)
     *,
-    chunk: int,
     tile_rows: int,
 ):
-    t = pl.program_id(0)
-    start = tile_starts_ref[t]
-    end = tile_starts_ref[t + 1]
-    base = t * tile_rows
+    k = pl.program_id(0)
+    chunk, _ = rows_ref.shape
 
-    acc_scratch[...] = jnp.zeros_like(acc_scratch)
-
-    def copy_in(slot, off):
-        rows_dma = pltpu.make_async_copy(
-            rows_ref.at[pl.ds(off, chunk), :],
-            rows_scratch.at[slot],
-            sems.at[slot, 0],
-        )
-        upd_dma = pltpu.make_async_copy(
-            upd_ref.at[pl.ds(off, chunk), :],
-            upd_scratch.at[slot],
-            sems.at[slot, 1],
-        )
-        return rows_dma, upd_dma
-
-    @pl.when(start < end)
+    @pl.when(first_flag_ref[k] == 1)
     def _():
-        # Warm up the pipeline with the first chunk.
-        for dma in copy_in(0, start):
-            dma.start()
+        out_ref[...] = jnp.zeros_like(out_ref)
 
-        def body(state):
-            off, slot = state
-            next_off = off + chunk
-
-            @pl.when(next_off < end)
-            def _():
-                for dma in copy_in(1 - slot, next_off):
-                    dma.start()
-
-            for dma in copy_in(slot, off):
-                dma.wait()
-
-            local = rows_scratch[slot, :, 0] - base  # [C]
-            # One-hot accumulate on the MXU: [R, C] @ [C, d].  Updates past
-            # `end` belong to later tiles (or padding) and have local >=
-            # tile_rows, so their one-hot column is all-zero.
-            valid = jnp.logical_and(
-                local >= 0,
-                jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
-                < (end - off),
-            )
-            local = jnp.where(valid, local, tile_rows)
-            onehot = (
-                local[:, None]
-                == jax.lax.broadcasted_iota(
-                    jnp.int32, (chunk, tile_rows), 1
-                )
-            ).astype(upd_scratch.dtype)
-            acc_scratch[...] += jax.lax.dot_general(
-                onehot,
-                upd_scratch[slot],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return next_off, 1 - slot
-
-        jax.lax.while_loop(
-            lambda s: s[0] < end, body, (start, jnp.int32(0))
-        )
-
-    out_ref[...] = acc_scratch[...]
+    local = rows_ref[:, 0] - chunk_tile_ref[k] * tile_rows  # [C]
+    # Padding rows carry an id outside every tile -> all-zero one-hot column.
+    onehot = (
+        local[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_rows), 1)
+    ).astype(upd_ref.dtype)
+    out_ref[...] += jax.lax.dot_general(
+        onehot,
+        upd_ref[...],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
 
 
-def _pad_to(x: jax.Array, n: int, axis: int = 0, value=0) -> jax.Array:
-    pad = n - x.shape[axis]
-    if pad <= 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths, constant_values=value)
+def _chunk_align(
+    rows_sorted: jax.Array,  # [U] int32 ascending
+    num_rows_pad: int,
+    tile_rows: int,
+    chunk: int,
+):
+    """Compute the chunk-aligned layout of the sorted update stream.
+
+    Returns (src, valid, chunk_tile, first_flag) where position p of the
+    padded stream takes sorted update ``src[p]`` when ``valid[p]`` (else
+    padding), and chunk k accumulates into row tile ``chunk_tile[k]``.
+    All pure gathers/searchsorted — no scatters.
+    """
+    U = rows_sorted.shape[0]
+    T = num_rows_pad // tile_rows
+    K = U // chunk + T + 1  # static chunk-count bound
+    L = K * chunk
+
+    # Per-tile slice boundaries of the sorted stream.
+    starts = jnp.searchsorted(
+        rows_sorted, jnp.arange(0, num_rows_pad + 1, tile_rows, dtype=jnp.int32)
+    ).astype(jnp.int32)  # [T+1]
+    counts = starts[1:] - starts[:-1]
+    aligned_counts = ((counts + chunk - 1) // chunk) * chunk
+    aligned_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_counts, dtype=jnp.int32)]
+    )  # [T+1]
+
+    p = jnp.arange(L, dtype=jnp.int32)
+    t_of_p = (
+        jnp.searchsorted(aligned_starts, p, side="right").astype(jnp.int32) - 1
+    )
+    t_of_p = jnp.clip(t_of_p, 0, T - 1)
+    offset = p - jnp.take(aligned_starts, t_of_p)
+    src = jnp.take(starts, t_of_p) + offset
+    valid = offset < jnp.take(counts, t_of_p)
+
+    kidx = jnp.arange(K, dtype=jnp.int32)
+    chunk_tile = (
+        jnp.searchsorted(
+            aligned_starts, kidx * chunk, side="right"
+        ).astype(jnp.int32)
+        - 1
+    )
+    chunk_tile = jnp.clip(chunk_tile, 0, T - 1)
+    first_flag = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (chunk_tile[1:] != chunk_tile[:-1]).astype(jnp.int32)]
+    )
+    return src, valid, chunk_tile, first_flag
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_rows", "tile_rows", "chunk", "interpret"),
 )
-def sorted_segment_sum_pallas(
-    upd_sorted: jax.Array,  # [U, d] float32, sorted by row
-    rows_sorted: jax.Array,  # [U] int32, ascending
+def chunk_aligned_segment_sum(
+    upd_sorted: jax.Array,  # [U, d], sorted by row
+    rows_sorted: jax.Array,  # [U] int32 ascending
     num_rows: int,
     tile_rows: int = 256,
-    chunk: int = 1024,
+    chunk: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """S[r] = sum of upd_sorted rows whose rows_sorted == r."""
+    """S[r] = sum of upd_sorted rows with rows_sorted == r (Pallas)."""
     U, d = upd_sorted.shape
     T = pl.cdiv(num_rows, tile_rows)
     num_rows_pad = T * tile_rows
+    if U == 0:
+        return jnp.zeros((num_rows, d), upd_sorted.dtype)
 
-    # Pad the update stream so fixed-size chunk DMAs never run off the end;
-    # padding rows point at `num_rows_pad` (outside every tile).
-    U_pad = ((U + chunk - 1) // chunk) * chunk + chunk
-    rows_p = _pad_to(
-        rows_sorted.astype(jnp.int32), U_pad, value=num_rows_pad
+    rows_i32 = rows_sorted.astype(jnp.int32)
+    src, valid, chunk_tile, first_flag = _chunk_align(
+        rows_i32, num_rows_pad, tile_rows, chunk
+    )
+    src_c = jnp.where(valid, src, 0)
+    rows_pad = jnp.where(
+        valid, jnp.take(rows_i32, src_c), num_rows_pad
     ).reshape(-1, 1)
-    upd_p = _pad_to(upd_sorted, U_pad)
+    upd_pad = jnp.take(upd_sorted, src_c, axis=0) * valid[:, None].astype(
+        upd_sorted.dtype
+    )
 
-    # Row-aligned slice boundaries per tile.
-    tile_starts = jnp.searchsorted(
-        rows_sorted.astype(jnp.int32),
-        jnp.arange(0, num_rows_pad + 1, tile_rows, dtype=jnp.int32),
-    ).astype(jnp.int32)
-
+    K = chunk_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(T,),
+        num_scalar_prefetch=2,
+        grid=(K,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((chunk, 1), lambda k, ct, ff: (k, 0)),
+            pl.BlockSpec((chunk, d), lambda k, ct, ff: (k, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (tile_rows, d), lambda t, starts: (t, 0)
+            (tile_rows, d), lambda k, ct, ff: (ct[k], 0)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, chunk, 1), jnp.int32),
-            pltpu.VMEM((2, chunk, d), upd_sorted.dtype),
-            pltpu.VMEM((tile_rows, d), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, chunk=chunk, tile_rows=tile_rows),
+        functools.partial(_kernel, tile_rows=tile_rows),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_rows_pad, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_rows_pad, d), upd_sorted.dtype),
         interpret=interpret,
-    )(tile_starts, rows_p, upd_p)
-    return out[:num_rows].astype(upd_sorted.dtype)
+    )(chunk_tile, first_flag, rows_pad, upd_pad)
+    return out[:num_rows]
+
+
+# Backwards-compatible alias used by tests.
+def sorted_segment_sum_pallas(
+    upd_sorted, rows_sorted, num_rows, tile_rows=256, chunk=512,
+    interpret=False,
+):
+    return chunk_aligned_segment_sum(
+        upd_sorted, rows_sorted, num_rows,
+        tile_rows=tile_rows, chunk=chunk, interpret=interpret,
+    )
 
 
 def sorted_segment_sum(
@@ -187,20 +194,12 @@ def sorted_segment_sum(
     num_rows: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """Dispatch: Pallas kernel on TPU (opt-in), XLA segment_sum otherwise.
-
-    The Pallas path is gated behind CUNVSM_PALLAS_SEGMENT=1 until it is
-    validated on the target toolchain (this environment's remote Mosaic
-    compiler currently rejects the kernel); XLA's sorted-scatter path runs at
-    ~150 GB/s which is already several times faster than its unsorted
-    scatter.
-    """
-    import os
-
+    """Dispatch: Pallas kernel on TPU (CUNVSM_PALLAS_SEGMENT=0 disables),
+    XLA segment_sum elsewhere."""
     backend = jax.default_backend()
-    use_pallas = os.environ.get("CUNVSM_PALLAS_SEGMENT") == "1"
+    use_pallas = os.environ.get("CUNVSM_PALLAS_SEGMENT", "1") == "1"
     if interpret or (use_pallas and backend in ("tpu", "axon")):
-        return sorted_segment_sum_pallas(
+        return chunk_aligned_segment_sum(
             upd_sorted, rows_sorted, num_rows, interpret=interpret
         )
     return jax.ops.segment_sum(

@@ -272,3 +272,33 @@ class TestSimilaritySources:
         assert next(it) == 1
         with pytest.raises(RuntimeError):
             next(it)
+
+
+class TestPackedCorpus:
+    def test_save_load_roundtrip(self, tmp_path):
+        docs = [("d0", "a b c d e"), ("d1", "c d e f g")]
+        c = build_corpus(docs, default_cfg(), window_size=3)
+        path = str(tmp_path / "packed")
+        c.save(path)
+        loaded = type(c).load(path)
+        assert loaded.docnos == c.docnos
+        assert loaded.vocab.terms == c.vocab.terms
+        np.testing.assert_array_equal(loaded.tokens, c.tokens)
+        np.testing.assert_array_equal(loaded.doc_offsets, c.doc_offsets)
+        assert loaded.window_size == c.window_size
+        assert loaded.vocab.total_terms == c.vocab.total_terms
+
+    def test_load_corpus_npz_dispatch(self, tmp_path):
+        from cunvsm_tpu.data.corpus import load_corpus
+
+        docs = [("d0", "a b c d e"), ("d1", "c d e f g")]
+        c = build_corpus(docs, default_cfg(), window_size=3)
+        path = str(tmp_path / "packed.npz")
+        c.save(path)
+        cfg = DataConfig(corpus_path=path)
+        loaded = load_corpus(cfg, 3)
+        assert loaded.docnos == c.docnos
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            load_corpus(cfg, 5)
