@@ -194,10 +194,19 @@ def sorted_segment_sum(
     num_rows: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """Dispatch: Pallas kernel on TPU (CUNVSM_PALLAS_SEGMENT=0 disables),
-    XLA segment_sum elsewhere."""
+    """Dispatch: XLA sorted segment_sum by default; the Pallas kernel is
+    opt-in via CUNVSM_PALLAS_SEGMENT=1.
+
+    Measured on v5e (see PERFORMANCE.md): XLA's sorted path streams at
+    ~150 GB/s (4 ms for 512k x 300 updates) while this kernel's
+    scalar-dependent output index map defeats Mosaic's block-revisiting —
+    the accumulator tile is flushed and reloaded on every chunk, an extra
+    ~1.5 GB of traffic that makes it ~15x slower.  Revisit when the
+    toolchain supports revisit detection through scalar-prefetch maps (or
+    manual-DMA accumulators stop miscompiling, see the module docstring).
+    """
     backend = jax.default_backend()
-    use_pallas = os.environ.get("CUNVSM_PALLAS_SEGMENT", "1") == "1"
+    use_pallas = os.environ.get("CUNVSM_PALLAS_SEGMENT", "0") == "1"
     if interpret or (use_pallas and backend in ("tpu", "axon")):
         return chunk_aligned_segment_sum(
             upd_sorted, rows_sorted, num_rows, interpret=interpret
