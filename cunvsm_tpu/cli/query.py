@@ -30,8 +30,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="no output nonlinearity (the NVSM query preset, "
                         "functions.sh:269-271)")
     p.add_argument("--self_information", action="store_true", default=False)
+    p.add_argument("--l2norm_phrase", action="store_true", default=False)
     p.add_argument("--bias_coefficient", type=float, default=0.0)
     p.add_argument("--strict", action="store_true", default=False)
+    p.add_argument("--rerank_exact_matching_documents", action="store_true",
+                   default=False,
+                   help="Restrict each query's candidates to its top-1000 "
+                        "TFIDF exact matches (py/query.py:186-205); "
+                        "requires --corpus.")
+    p.add_argument("--corpus", default=None,
+                   help="Corpus path for the exact-match prefilter "
+                        "(trectext/jsonl/packed .npz).")
     p.add_argument("--top_k", default=None,
                    help="int, 'all', or a qrels file restricting the "
                         "candidate documents per query")
@@ -51,6 +60,7 @@ def main(argv=None) -> int:
         nonlinearity=None if args.linear else "tanh",
         bias_coefficient=args.bias_coefficient,
         self_information=args.self_information,
+        l2norm_phrase=args.l2norm_phrase,
     )
     logging.info(
         "Loaded model: %d terms, %d documents.",
@@ -80,6 +90,31 @@ def main(argv=None) -> int:
         except ValueError:
             qrel_sets = read_qrels(args.top_k)
             top_k = None
+
+    if args.rerank_exact_matching_documents:
+        # TFIDF prefilter over the corpus: each query's candidate set is its
+        # top-1000 exact-matching documents (query.py:186-205).
+        if not args.corpus:
+            print(
+                "--rerank_exact_matching_documents requires --corpus",
+                file=sys.stderr,
+            )
+            return 1
+        from cunvsm_tpu.config import DataConfig
+        from cunvsm_tpu.data.corpus import load_corpus
+        from cunvsm_tpu.query.qlm import build_qlm_index, tfidf_rank
+
+        corpus = load_corpus(
+            DataConfig(corpus_path=args.corpus, max_vocabulary_size=0,
+                       min_document_frequency=0, max_document_frequency=0),
+            window_size=1,
+            stopword_path=args.stopwords,
+        )
+        qlm_index = build_qlm_index(corpus)
+        qrel_sets = {
+            qid: {d: 1 for d, _ in tfidf_rank(qlm_index, terms, 1000)}
+            for qid, terms in tokenized.items()
+        }
 
     if qrel_sets is None:
         run = engine.rank(tokenized, top_k=top_k)

@@ -65,6 +65,7 @@ class QueryEngine:
         nonlinearity: Optional[str] = "tanh",
         bias_coefficient: float = 0.0,
         self_information: bool = False,
+        l2norm_phrase: bool = False,
     ):
         self.params = params
         self.term_to_id: Dict[str, int] = {
@@ -75,6 +76,7 @@ class QueryEngine:
         self.total_terms = total_terms
         self.nonlinearity = nonlinearity
         self.self_information = self_information
+        self.l2norm_phrase = l2norm_phrase
         self._word_reprs_np = np.asarray(params.word_reprs)
         self._bias_scaled = jnp.asarray(
             bias_coefficient * np.asarray(params.transform_b)
@@ -101,8 +103,14 @@ class QueryEngine:
                 self.term_frequencies[ids].astype(np.float64)
                 / self.total_terms
             )
-            return np.average(vecs, axis=0, weights=w)
-        return vecs.mean(axis=0)
+            repr_ = np.average(vecs, axis=0, weights=w)
+        else:
+            repr_ = vecs.mean(axis=0)
+        if self.l2norm_phrase:
+            # Query-side analog of l2_normalize_phrase_reprs
+            # (py/query.py --l2norm_phrase).
+            repr_ = repr_ / max(np.linalg.norm(repr_), 1e-30)
+        return repr_
 
     # -- ranking ------------------------------------------------------------
 
@@ -204,6 +212,49 @@ class QueryEngine:
         return float(
             va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb) + 1e-30)
         )
+
+
+class TermBruteforcer:
+    """Inverse n-gram lookup: which term combinations project nearest to a
+    given document-space vector (py/nvsm/base.py:106-162).
+
+    Precomputes projections of all term n-grams up to
+    ``max_ngram_cardinality`` (cardinality 1 = every vocabulary term;
+    cardinality 2 explodes combinatorially, so a ``max_terms`` cap applies)
+    and answers nearest-n-gram queries by cosine over them.
+    """
+
+    def __init__(
+        self,
+        engine: QueryEngine,
+        max_ngram_cardinality: int = 1,
+        max_terms: int = 4096,
+    ):
+        import itertools
+
+        self.engine = engine
+        terms = sorted(engine.term_to_id)[:max_terms]
+        self.ngrams = []
+        reprs = []
+        w = engine._word_reprs_np
+        for k in range(1, max_ngram_cardinality + 1):
+            for combo in itertools.combinations(terms, k):
+                ids = [engine.term_to_id[t] for t in combo]
+                self.ngrams.append(combo)
+                reprs.append(w[ids].mean(axis=0))
+        projected = np.stack(
+            [engine.infer(r) for r in reprs]
+        )
+        norms = np.linalg.norm(projected, axis=1, keepdims=True)
+        self._projected_norm = projected / np.maximum(norms, 1e-30)
+
+    def nearest_ngrams(self, target: np.ndarray, k: int = 10):
+        """Top-k n-grams whose projections are cosine-nearest to ``target``
+        (a document-space vector, e.g. a document representation)."""
+        t = target / max(np.linalg.norm(target), 1e-30)
+        scores = self._projected_norm @ t
+        order = np.argsort(-scores)[:k]
+        return [(self.ngrams[int(i)], float(scores[int(i)])) for i in order]
 
 
 def load_query_engine(prefix: str, epoch, **kwargs) -> QueryEngine:

@@ -99,6 +99,40 @@ def _query_term_weights(
     return weights
 
 
+def tfidf_rank(
+    index: QLMIndex,
+    query_terms: Sequence[str],
+    top_k: int = 1000,
+) -> List[Tuple[str, float]]:
+    """TFIDF exact-match ranking (the pyndri TFIDFQueryEnvironment role used
+    by --rerank_exact_matching_documents, py/query.py:186-205).
+
+    Standard ltc-style scoring: tf * idf with idf = log(N / df); documents
+    with no matching terms never appear.
+    """
+    qw = _query_term_weights(index, query_terms)
+    if not qw:
+        return []
+    num_docs = len(index.docnos)
+    scores = np.zeros(num_docs)
+    matched = np.zeros(num_docs, dtype=bool)
+    for tid, q_tf in qw.items():
+        col = np.asarray(index.doc_term[:, tid].todense()).ravel()
+        df = float((col > 0).sum())
+        if df == 0:
+            continue
+        idf = np.log(num_docs / df)
+        scores += q_tf * idf * col / np.maximum(index.doc_lengths, 1.0)
+        matched |= col > 0
+    scores = np.where(matched, scores, -np.inf)
+    order = np.argsort(-scores)[:top_k]
+    return [
+        (index.docnos[int(i)], float(scores[int(i)]))
+        for i in order
+        if matched[int(i)]
+    ]
+
+
 def qlm_rank(
     index: QLMIndex,
     queries: Dict[str, Sequence[str]],

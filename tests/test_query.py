@@ -164,3 +164,39 @@ class TestFusion:
         run_b = {"q2": [("d2", 1.0)]}
         out = fuse_fixed_alpha(run_a, run_b, 0.5, normalizer="none")
         assert set(out.keys()) == {"q1", "q2"}
+
+
+class TestQueryExtras:
+    def test_l2norm_phrase(self):
+        eng, params = make_engine(l2norm_phrase=True)
+        r = eng.query_representation(["alpha", "gamma"])
+        np.testing.assert_allclose(np.linalg.norm(r), 1.0, rtol=1e-12)
+
+    def test_term_bruteforcer(self):
+        from cunvsm_tpu.query.engine import TermBruteforcer
+
+        eng, params = make_engine()
+        bf = TermBruteforcer(eng, max_ngram_cardinality=1)
+        # The nearest n-gram to a term's own projection is that term.
+        target = eng.infer(np.asarray(params.word_reprs)[2])  # "gamma"
+        top = bf.nearest_ngrams(target, k=1)
+        assert top[0][0] == ("gamma",)
+
+    def test_tfidf_rank(self):
+        from cunvsm_tpu.config import DataConfig
+        from cunvsm_tpu.data.corpus import build_corpus
+        from cunvsm_tpu.query.qlm import build_qlm_index, tfidf_rank
+
+        docs = [("d0", "apple apple banana"), ("d1", "banana cherry"),
+                ("d2", "cherry cherry cherry")]
+        corpus = build_corpus(
+            docs,
+            DataConfig(max_vocabulary_size=0, min_document_frequency=0,
+                       max_document_frequency=0),
+            window_size=1,
+        )
+        idx = build_qlm_index(corpus)
+        ranked = tfidf_rank(idx, ["apple"])
+        assert [d for d, _ in ranked] == ["d0"]  # only exact matches appear
+        ranked = tfidf_rank(idx, ["cherry"])
+        assert ranked[0][0] == "d2"
