@@ -121,6 +121,11 @@ def shard_tree(tree, shardings):
     )
 
 
+def pad_entities(n: int, model_axis: int) -> int:
+    """Entity-table rows padded up to a multiple of the model axis."""
+    return ((n + model_axis - 1) // model_axis) * model_axis
+
+
 def make_sharded_train_step(
     desc: ModelDesc,
     cfg: TrainConfig,
@@ -129,6 +134,7 @@ def make_sharded_train_step(
     opt_state: OptState,
     example_batch,
     kind: Optional[ObjectiveKind] = None,
+    num_entities: Optional[int] = None,
 ):
     """jit the train step with explicit in/out shardings over the mesh.
 
@@ -140,7 +146,9 @@ def make_sharded_train_step(
     o_sh = opt_state_shardings(mesh, opt_state, params.num_entities)
     b_sh = batch_shardings(mesh, example_batch)
 
-    step = make_train_step(desc, cfg, kind, jit=False)
+    step = make_train_step(
+        desc, cfg, kind, jit=False, num_entities=num_entities
+    )
     sharded = jax.jit(
         step,
         in_shardings=(p_sh, o_sh, b_sh, _replicated(mesh)),

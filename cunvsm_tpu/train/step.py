@@ -44,9 +44,13 @@ def objective_kind_from_config(cfg: TrainConfig) -> ObjectiveKind:
     return ObjectiveKind.TEXT_ENTITY
 
 
-def _text_entity_grads(params, batch, key, desc, cfg):
+def _text_entity_grads(params, batch, key, desc, cfg, num_entities=None):
+    # num_entities overrides the sampling range when the entity table is
+    # padded (e.g. to a multiple of the mesh model axis): padded rows must
+    # never be sampled as negatives.
     entity_ids = obj.sample_negative_entities(
-        key, batch.labels, params.num_entities, cfg.num_random_entities
+        key, batch.labels, num_entities or params.num_entities,
+        cfg.num_random_entities,
     )
     cost, _, grads = obj.text_entity_cost_and_grads(
         params, batch, entity_ids, desc
@@ -72,6 +76,7 @@ def compute_cost_and_grads(
     key: jax.Array,
     desc: ModelDesc,
     cfg: TrainConfig,
+    num_entities: Optional[int] = None,
 ):
     """Cost + merged ascent gradients for any objective flavour.
 
@@ -82,14 +87,16 @@ def compute_cost_and_grads(
     (objective.cu:724-743 + intermediate_results.cu:3-60).
     """
     if kind == ObjectiveKind.TEXT_ENTITY:
-        return _text_entity_grads(params, batch, key, desc, cfg)
+        return _text_entity_grads(params, batch, key, desc, cfg, num_entities)
     if kind == ObjectiveKind.ENTITY_ENTITY:
         return _similarity_grads(params, batch, desc, "entity")
     if kind == ObjectiveKind.TERM_TERM:
         return _similarity_grads(params, batch, desc, "word")
 
     te_batch, sim_batch = batch
-    te_cost, te_grads = _text_entity_grads(params, te_batch, key, desc, cfg)
+    te_cost, te_grads = _text_entity_grads(
+        params, te_batch, key, desc, cfg, num_entities
+    )
     if kind == ObjectiveKind.TEXT_ENTITY_ENTITY_ENTITY:
         sim_cost, sim_grads = _similarity_grads(
             params, sim_batch, desc, "entity"
@@ -117,6 +124,7 @@ def make_train_step(
     cfg: TrainConfig,
     kind: Optional[ObjectiveKind] = None,
     jit: bool = True,
+    num_entities: Optional[int] = None,
 ):
     """Build the train step: forward + backward + optimizer update."""
     if kind is None:
@@ -126,7 +134,9 @@ def make_train_step(
     lam = scaled_regularization_lambda(cfg, kind)
 
     def step(params: ModelParams, opt_state: OptState, batch, key: jax.Array):
-        cost, grads = compute_cost_and_grads(kind, params, batch, key, desc, cfg)
+        cost, grads = compute_cost_and_grads(
+            kind, params, batch, key, desc, cfg, num_entities
+        )
         params, opt_state = optimizer.apply(params, opt_state, grads, lr, lam)
         return params, opt_state, cost
 

@@ -100,6 +100,7 @@ def train_model(
     profile_dir: Optional[str] = None,
     log_every: int = 0,
     steps_per_call: int = 1,
+    mesh=None,
 ) -> TrainResult:
     """Train a model over a corpus.
 
@@ -111,7 +112,11 @@ def train_model(
     (the VLOG(1) batch logging, main.cu:445-451).  ``steps_per_call`` > 1
     chains that many steps inside one compiled scan (dispatch amortization;
     incompatible with check_gradients and intra-group dump_every
-    granularity).
+    granularity).  ``mesh`` (a jax.sharding.Mesh with ("data", "model")
+    axes) trains multi-chip: the entity table and its optimizer state shard
+    over the model axis and batches over data (parallel/mesh.py); requires
+    batch_size divisible by the data axis and the entity count by the model
+    axis.
     """
     kind = objective_kind_from_config(cfg)
     key = jax.random.PRNGKey(cfg.seed)
@@ -127,12 +132,60 @@ def train_model(
     if kind != ObjectiveKind.TEXT_ENTITY and similarity_source is None:
         raise ValueError(f"objective {kind} requires a similarity source")
 
+    num_real_entities = corpus.num_docs
+    num_table_entities = num_real_entities
+    if mesh is not None:
+        from cunvsm_tpu.parallel.mesh import (
+            make_sharded_train_step,
+            pad_entities,
+        )
+
+        model_axis = mesh.shape["model"]
+        data_axis = mesh.shape["data"]
+        assert cfg.batch_size % data_axis == 0, (
+            f"batch_size {cfg.batch_size} not divisible by data axis "
+            f"{data_axis}"
+        )
+        assert steps_per_call == 1, (
+            "mesh training currently requires steps_per_call=1"
+        )
+        num_table_entities = pad_entities(num_real_entities, model_axis)
+
     params = init_params(
-        key, corpus.vocab.size, corpus.num_docs, desc, dtype=dtype
+        key, corpus.vocab.size, num_table_entities, desc, dtype=dtype
     )
     optimizer = Optimizer(cfg)
     opt_state = optimizer.init(params)
-    step = make_train_step(desc, cfg, kind)
+
+    def unpad(p: ModelParams) -> ModelParams:
+        if num_table_entities == num_real_entities:
+            return p
+        return p._replace(entity_reprs=p.entity_reprs[:num_real_entities])
+
+    if mesh is not None:
+        B, W = cfg.batch_size, cfg.window_size
+        te_example = obj.TextEntityBatch(
+            features=jnp.zeros((B, W), jnp.int32),
+            feature_weights=jnp.ones((B, W), dtype),
+            labels=jnp.zeros((B,), jnp.int32),
+            weights=jnp.ones((B,), dtype),
+        )
+        if kind == ObjectiveKind.TEXT_ENTITY:
+            example_batch = te_example
+        else:
+            example_batch = (
+                te_example,
+                obj.SimilarityBatch(
+                    ids=jnp.zeros((B, 2), jnp.int32),
+                    weights=jnp.ones((B,), dtype),
+                ),
+            )
+        step, params, opt_state = make_sharded_train_step(
+            desc, cfg, mesh, params, opt_state, example_batch, kind,
+            num_entities=num_real_entities,
+        )
+    else:
+        step = make_train_step(desc, cfg, kind)
 
     start_epoch = 1
     if resume and output_prefix and os.path.exists(
@@ -205,7 +258,7 @@ def train_model(
             )
 
     if dump_initial_model and output_prefix:
-        ckpt.save_model_hdf5(params, output_prefix, 0)
+        ckpt.save_model_hdf5(unpad(params), output_prefix, 0)
 
     epoch_costs: List[float] = []
     total_batches = 0
@@ -265,7 +318,7 @@ def train_model(
                 and total_batches % dump_every == 0
             ):
                 ckpt.save_model_hdf5(
-                    params, output_prefix, f"{epoch}_{total_batches}"
+                    unpad(params), output_prefix, f"{epoch}_{total_batches}"
                 )
         # Single host sync per epoch.
         epoch_cost = (
@@ -289,14 +342,15 @@ def train_model(
             jax.profiler.stop_trace()
             profiling = False
         if output_prefix:
-            ckpt.save_model_hdf5(params, output_prefix, epoch)
+            ckpt.save_model_hdf5(unpad(params), output_prefix, epoch)
+            # The resume state keeps the padded layout for mesh consistency.
             ckpt.save_training_state(output_prefix, params, opt_state, epoch)
         if epoch_callback:
-            epoch_callback(epoch, params, epoch_cost)
+            epoch_callback(epoch, unpad(params), epoch_cost)
 
     total_time = time.time() - train_start
     return TrainResult(
-        params=params,
+        params=unpad(params),
         opt_state=opt_state,
         epoch_costs=epoch_costs,
         batches_per_sec=(

@@ -142,3 +142,33 @@ def test_sharded_query_scorer_matches_dense():
         np.take_along_axis(dense, want_idx, axis=1),
         rtol=1e-5,
     )
+
+
+def test_trainer_with_mesh():
+    """End-to-end mesh training through train_model: entity padding,
+    sharded steps, unpadded results."""
+    from cunvsm_tpu.config import DataConfig
+    from cunvsm_tpu.data.corpus import build_corpus
+    from cunvsm_tpu.train.trainer import train_model
+
+    docs = [
+        (f"d{i}", " ".join(
+            f"w{j}" for j in np.random.RandomState(i).randint(0, 30, 25)))
+        for i in range(13)  # deliberately not divisible by the model axis
+    ]
+    corpus = build_corpus(
+        docs,
+        DataConfig(max_vocabulary_size=0, min_document_frequency=0,
+                   max_document_frequency=0),
+        window_size=3,
+    )
+    desc = ModelDesc(word_repr_size=8, entity_repr_size=8)
+    cfg = TrainConfig(
+        num_epochs=2, batch_size=16, window_size=3, num_random_entities=2,
+        learning_rate=0.01,
+    )
+    mesh = make_mesh(2, 4)
+    result = train_model(desc, cfg, corpus, mesh=mesh)
+    # Results come back unpadded.
+    assert result.params.entity_reprs.shape[0] == corpus.num_docs == 13
+    assert all(np.isfinite(c) for c in result.epoch_costs)
