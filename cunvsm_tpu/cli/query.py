@@ -69,11 +69,24 @@ def main(argv=None) -> int:
     )
 
     stopwords = load_stopwords(args.stopwords)
+    # With multiple topic files the reference writes one run per file,
+    # suffixed with the file's basename (query.py:170-173); mirror that.
+    per_file = len(args.topics) > 1
     topics = {}
     for path in args.topics:
-        topics.update(read_topics(path))
-    if args.num_queries is not None:
-        topics = dict(list(topics.items())[: args.num_queries])
+        file_topics = read_topics(path)
+        if args.num_queries is not None:
+            file_topics = dict(
+                list(file_topics.items())[: args.num_queries]
+            )
+        if per_file:
+            import os as _os
+
+            suffix = _os.path.basename(path)
+            file_topics = {
+                (qid, suffix): text for qid, text in file_topics.items()
+            }
+        topics.update(file_topics)
     logging.info("Loaded %d topics.", len(topics))
 
     tokenized = {qid: tokenize(text, stopwords) for qid, text in topics.items()}
@@ -121,15 +134,36 @@ def main(argv=None) -> int:
     else:
         run = {}
         for qid, terms in tokenized.items():
-            docnos = list(qrel_sets.get(qid, {}))
+            key = qid[0] if isinstance(qid, tuple) else qid
+            # The exact-match prefilter keys by the tokenized-dict key; a
+            # qrels file keys by the plain topic id.
+            docnos = list(qrel_sets.get(qid) or qrel_sets.get(key, {}))
             if not docnos:
                 continue
             scored = engine.score_documents(terms, docnos)
             if scored is not None:
                 run[qid] = scored
 
-    write_run(run, args.run_out, name="cunvsm_tpu")
-    logging.info("Run with %d rankings written to %s.", len(run), args.run_out)
+    if per_file:
+        import os as _os
+
+        for path in args.topics:
+            suffix = _os.path.basename(path)
+            sub_run = {
+                qid[0]: ranked
+                for qid, ranked in run.items()
+                if isinstance(qid, tuple) and qid[1] == suffix
+            }
+            out = f"{args.run_out}-{suffix}"
+            write_run(sub_run, out, name="cunvsm_tpu")
+            logging.info(
+                "Run with %d rankings written to %s.", len(sub_run), out
+            )
+    else:
+        write_run(run, args.run_out, name="cunvsm_tpu")
+        logging.info(
+            "Run with %d rankings written to %s.", len(run), args.run_out
+        )
     return 0
 
 

@@ -78,7 +78,15 @@ class TextEntitySource:
         feature_weighting: FeatureWeighting = FeatureWeighting.UNIFORM,
         seed: int = 1,
         drop_remainder: bool = True,
+        pad_remainder: bool = False,
     ):
+        """``drop_remainder`` skips the final partial batch (the reference
+        skips batches whose size isn't a multiple of maxThreadsPerBlock,
+        main.cu:392-398).  ``pad_remainder`` instead pads it to the full
+        batch size with zero-weight instances (keeping shapes static for
+        XLA; the InMemoryDocumentSource pad_batch analog, data.h:301-364) —
+        note the cost normalizer stays the full batch size, matching how the
+        padded instances contribute zero mass."""
         self.corpus = corpus
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -89,7 +97,8 @@ class TextEntitySource:
         self.weighting = weighting
         self.feature_weighting = feature_weighting
         self.rng = np.random.RandomState(seed)
-        self.drop_remainder = drop_remainder
+        self.drop_remainder = drop_remainder and not pad_remainder
+        self.pad_remainder = pad_remainder
 
         w = corpus.window_size
         lengths = corpus.doc_lengths  # in-vocabulary lengths
@@ -200,6 +209,17 @@ class TextEntitySource:
         full = n - (n % bs) if self.drop_remainder else n
         for start in range(0, full, bs):
             end = min(start + bs, n)
-            yield self._materialize(
+            batch = self._materialize(
                 epoch.doc_ids[start:end], epoch.positions[start:end]
             )
+            if self.pad_remainder and end - start < bs:
+                pad = bs - (end - start)
+                batch = TextEntityBatchNp(
+                    features=np.pad(batch.features, ((0, pad), (0, 0))),
+                    feature_weights=np.pad(
+                        batch.feature_weights, ((0, pad), (0, 0))
+                    ),
+                    labels=np.pad(batch.labels, (0, pad)),
+                    weights=np.pad(batch.weights, (0, pad)),  # zero weight
+                )
+            yield batch

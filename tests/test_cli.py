@@ -218,3 +218,25 @@ def test_visualize_cli(trained_prefix, tmp_path):
     )
     assert rc == 0
     assert os.path.exists(str(tmp_path / "proj") + "_tensors.tsv")
+
+
+def test_query_multiple_topic_files(trained_prefix, tmp_path):
+    """Multiple topic files produce one run per file (query.py:170-173)."""
+    t1 = tmp_path / "topicsA.txt"
+    t1.write_text("1;rocket orbit\n")
+    t2 = tmp_path / "topicsB.txt"
+    t2.write_text("9;oven bake\n")
+    run_out = str(tmp_path / "multi")
+    rc = cli_query.main(
+        [
+            "--topics", str(t1), str(t2),
+            "--model", trained_prefix,
+            "--epoch", "8",
+            "--top_k", "3",
+            run_out,
+        ]
+    )
+    assert rc == 0
+    a = read_run(f"{run_out}-topicsA.txt")
+    b = read_run(f"{run_out}-topicsB.txt")
+    assert set(a) == {"1"} and set(b) == {"9"}

@@ -302,3 +302,19 @@ class TestPackedCorpus:
 
         with _pytest.raises(ValueError):
             load_corpus(cfg, 5)
+
+
+class TestPadRemainder:
+    def test_pad_remainder_static_shapes(self):
+        docs = [("d0", "a b c d e f"), ("d1", "g h i j")]
+        c = build_corpus(docs, default_cfg(), window_size=3)
+        src = TextEntitySource(
+            c, batch_size=4, shuffle=False, pad_remainder=True
+        )
+        batches = list(src.epoch_batches())
+        # 6 instances -> one full batch + one padded batch of 4.
+        assert len(batches) == 2
+        assert all(b.features.shape == (4, 3) for b in batches)
+        # Padding rows carry zero weight; real rows keep theirs.
+        assert np.all(batches[1].weights[:2] > 0)
+        np.testing.assert_array_equal(batches[1].weights[2:], [0.0, 0.0])
