@@ -252,27 +252,44 @@ def text_entity_cost_and_grads(
     entity_ids: jax.Array,
     desc: ModelDesc,
     batch_size_normalizer: jax.Array | float | None = None,
+    factored_entity_grads: bool = False,
 ):
     """Cost + ascent gradients in the reference's sparse-descriptor form.
 
     Word descriptor: (d ascent / d phrase_pre) / window with the batch's word
     indices and feature weights (objective.cu:444-478 + the scatter contract
     in intermediate_results.cu:283-298).
-    Entity descriptor: d ascent / d entity_pre flattened to one row per
-    (instance, slot), window 1, no weights (intermediate_results.cu:300-308).
+    Entity descriptor: d ascent / d entity_pre — either flattened to one row
+    per (instance, slot) with window 1 (the reference layout,
+    intermediate_results.cu:300-308), or, with ``factored_entity_grads``,
+    in rank-1 factored form: the per-entity gradient is
+    sign * multiplier * projection (objective.cu:380-403), so the descriptor
+    carries (projections [B, d], entity_ids [B, K+1], signed multipliers) —
+    the scatter accumulates identically while never materializing the
+    [B, K+1, d] gradient.  Exact for accumulate-only optimizer paths (SGD,
+    full_adam); the window-averaged statistics of sparse Adagrad/Adam and
+    the entity L2-normalizer need the expanded layout.
     """
     if batch_size_normalizer is None:
         batch_size_normalizer = batch.features.shape[0]
     window = batch.features.shape[1]
     num_negative = entity_ids.shape[1] - 1
 
-    inter = TextEntityIntermediates(
-        phrase_pre=gather_phrase_reprs(
-            params.word_reprs, batch.features, batch.feature_weights
-        ),
-        entity_pre=jnp.take(params.entity_reprs, entity_ids, axis=0),
+    phrase_pre = gather_phrase_reprs(
+        params.word_reprs, batch.features, batch.feature_weights
     )
+    entity_pre = jnp.take(params.entity_reprs, entity_ids, axis=0)
     nce_w = nce_instance_weights(batch.weights, num_negative, desc)
+
+    if factored_entity_grads and not desc.l2_normalize_entity_reprs:
+        return _cost_and_grads_factored(
+            phrase_pre, entity_pre, params, batch, entity_ids, nce_w, desc,
+            batch_size_normalizer, window,
+        )
+
+    inter = TextEntityIntermediates(
+        phrase_pre=phrase_pre, entity_pre=entity_pre
+    )
 
     def loss_fn(inter_, w_, b_):
         return text_entity_loss(
@@ -298,6 +315,64 @@ def text_entity_cost_and_grads(
                 grad=-g_inter.entity_pre.reshape(-1, entity_dim),
                 indices=entity_ids.reshape(-1, 1),
                 weights=None,
+            ),
+        ),
+        transform_w=-g_w,
+        transform_b=-g_b,
+    )
+    return cost, similarity_probs, ascent
+
+
+def _cost_and_grads_factored(
+    phrase_pre, entity_pre, params, batch, entity_ids, nce_w, desc,
+    batch_size_normalizer, window,
+):
+    """Rank-1 entity-gradient variant: differentiate w.r.t. an additive
+    dots offset to obtain the per-(instance, slot) multipliers, keeping the
+    entity gathers out of the differentiated graph."""
+    k_plus_1 = entity_ids.shape[1]
+    signs = jnp.concatenate(
+        [jnp.ones((1,)), -jnp.ones((k_plus_1 - 1,))]
+    ).astype(entity_pre.dtype)
+    eps_f = desc.sigmoid_eps_forward if desc.clip_sigmoid else 0.0
+    eps_b = desc.sigmoid_eps_backward if desc.clip_sigmoid else 0.0
+
+    def loss_fn(phrase_pre_, w_, b_, dots_offset):
+        phrase = phrase_pre_
+        if desc.l2_normalize_phrase_reprs:
+            phrase = l2_normalize_rows(phrase)
+        projections = apply_transform(
+            phrase, w_, b_, desc, desc.batch_normalization
+        )
+        dots = (
+            jnp.einsum("bd,bkd->bk", projections, entity_pre)
+            * signs[None, :]
+            + dots_offset
+        )
+        log_probs = log_truncated_sigmoid(dots, eps_f, eps_b)
+        cost = -jnp.sum(nce_w * log_probs) / batch_size_normalizer
+        return cost, (truncated_sigmoid(dots, eps_f), projections)
+
+    dots_offset = jnp.zeros(entity_ids.shape, entity_pre.dtype)
+    (cost, (similarity_probs, projections)), grads = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2, 3), has_aux=True
+    )(phrase_pre, params.transform_w, params.transform_b, dots_offset)
+    g_phrase, g_w, g_b, g_dots = grads
+
+    # d ascent / d entity_pre[i, j] = (-g_dots[i, j]) * signs[j] * proj[i].
+    ascent = AscentGrads(
+        word=(
+            SparseGrad(
+                grad=-g_phrase / window,
+                indices=batch.features,
+                weights=batch.feature_weights,
+            ),
+        ),
+        entity=(
+            SparseGrad(
+                grad=projections,
+                indices=entity_ids,
+                weights=-g_dots * signs[None, :],
             ),
         ),
         transform_w=-g_w,

@@ -20,7 +20,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from cunvsm_tpu.config import ModelDesc, TrainConfig
+from cunvsm_tpu.config import AdamMode, ModelDesc, TrainConfig, UpdateMethod
 from cunvsm_tpu.models import objectives as obj
 from cunvsm_tpu.models.params import ModelParams
 from cunvsm_tpu.optim.updates import Optimizer, OptState
@@ -44,6 +44,20 @@ def objective_kind_from_config(cfg: TrainConfig) -> ObjectiveKind:
     return ObjectiveKind.TEXT_ENTITY
 
 
+def _accumulate_only_optimizer(cfg: TrainConfig) -> bool:
+    """True when the optimizer consumes entity descriptors only through
+    dense accumulation (SGD scatter / full_adam segment-sum) — the factored
+    rank-1 entity-gradient layout is exact there; the window-averaged
+    statistics of Adagrad and sparse/dense-update Adam need the expanded
+    per-update layout."""
+    if cfg.update_method == UpdateMethod.SGD:
+        return True
+    return (
+        cfg.update_method == UpdateMethod.ADAM
+        and cfg.adam.mode == AdamMode.DENSE_UPDATE_DENSE_VARIANCE
+    )
+
+
 def _text_entity_grads(params, batch, key, desc, cfg, num_entities=None):
     # num_entities overrides the sampling range when the entity table is
     # padded (e.g. to a multiple of the mesh model axis): padded rows must
@@ -53,7 +67,8 @@ def _text_entity_grads(params, batch, key, desc, cfg, num_entities=None):
         cfg.num_random_entities,
     )
     cost, _, grads = obj.text_entity_cost_and_grads(
-        params, batch, entity_ids, desc
+        params, batch, entity_ids, desc,
+        factored_entity_grads=_accumulate_only_optimizer(cfg),
     )
     return cost, grads
 

@@ -207,3 +207,55 @@ class TestInitParams:
         w = np.asarray(p.word_reprs)
         assert np.abs(w).max() <= limit
         assert np.abs(w).max() > 0.5 * limit
+
+
+class TestFactoredEntityGrads:
+    def test_factored_matches_expanded_densified(self, rng):
+        """The rank-1 factored entity descriptor must densify to exactly the
+        expanded per-update gradients."""
+        from cunvsm_tpu.train.gradcheck import densify_grads
+
+        params = make_params(rng)
+        batch = obj.TextEntityBatch(
+            features=jnp.asarray(rng.randint(0, 7, (4, 2)), dtype=jnp.int32),
+            feature_weights=jnp.asarray(rng.rand(4, 2) + 0.5),
+            labels=jnp.asarray(rng.randint(0, 5, (4,)), dtype=jnp.int32),
+            weights=jnp.asarray(rng.rand(4) + 0.5),
+        )
+        desc = ModelDesc()
+        ids = obj.sample_negative_entities(
+            jax.random.PRNGKey(3), batch.labels, 5, 3
+        )
+        c1, p1, g_exp = obj.text_entity_cost_and_grads(
+            params, batch, ids, desc, factored_entity_grads=False
+        )
+        c2, p2, g_fac = obj.text_entity_cost_and_grads(
+            params, batch, ids, desc, factored_entity_grads=True
+        )
+        np.testing.assert_allclose(float(c1), float(c2), rtol=1e-12)
+        d1 = densify_grads(params, g_exp)
+        d2 = densify_grads(params, g_fac)
+        for a, b in zip(d1, d2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12
+            )
+
+    def test_factored_refused_with_entity_l2norm(self, rng):
+        """Entity L2 normalization breaks the rank-1 structure; the expanded
+        path must be used."""
+        params = make_params(rng)
+        batch = obj.TextEntityBatch(
+            features=jnp.zeros((2, 2), jnp.int32),
+            feature_weights=jnp.ones((2, 2)),
+            labels=jnp.zeros((2,), jnp.int32),
+            weights=jnp.ones((2,)),
+        )
+        desc = ModelDesc(l2_normalize_entity_reprs=True)
+        ids = obj.sample_negative_entities(
+            jax.random.PRNGKey(0), batch.labels, 5, 2
+        )
+        _, _, g = obj.text_entity_cost_and_grads(
+            params, batch, ids, desc, factored_entity_grads=True
+        )
+        # Falls back to the expanded layout (window 1).
+        assert g.entity[0].indices.shape[1] == 1
