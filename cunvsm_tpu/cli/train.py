@@ -95,6 +95,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Capture a jax.profiler trace of the first epoch.")
     p.add_argument("--log_every", type=int, default=0,
                    help="Per-batch cost/progress/ETA logging interval.")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="Chain N training steps per compiled call "
+                        "(dispatch amortization).")
+    p.add_argument("--mesh", default=None,
+                   help="Multi-chip mesh as 'DATAxMODEL' (e.g. 2x4): data "
+                        "parallelism x entity-table model sharding over all "
+                        "visible devices.")
     p.add_argument("--output", required=True)
     p.add_argument("--loglevel", default="INFO")
     return p
@@ -176,6 +183,13 @@ def main(argv=None) -> int:
             ids, weights, cfg.batch_size, seed=cfg.seed
         )
 
+    mesh = None
+    if args.mesh:
+        from cunvsm_tpu.parallel.mesh import make_mesh
+
+        data_axis, model_axis = (int(x) for x in args.mesh.split("x"))
+        mesh = make_mesh(data_axis, model_axis)
+
     result = train_model(
         desc,
         cfg,
@@ -191,6 +205,8 @@ def main(argv=None) -> int:
         check_gradients=args.check_gradients,
         profile_dir=args.profile_dir,
         log_every=args.log_every,
+        steps_per_call=args.steps_per_call,
+        mesh=mesh,
     )
     logging.info(
         "Finished: %d epochs, %.1f batches/s overall.",
