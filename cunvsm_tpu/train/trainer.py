@@ -101,6 +101,7 @@ def train_model(
     log_every: int = 0,
     steps_per_call: int = 1,
     mesh=None,
+    on_device_sampling: bool = False,
 ) -> TrainResult:
     """Train a model over a corpus.
 
@@ -116,7 +117,11 @@ def train_model(
     axes) trains multi-chip: the entity table and its optimizer state shard
     over the model axis and batches over data (parallel/mesh.py); requires
     batch_size divisible by the data axis and the entity count by the model
-    axis.
+    axis.  ``on_device_sampling`` keeps the packed corpus in HBM and samples
+    batches inside the compiled step (data/device_sampler.py) — the fastest
+    path for stochastic text-entity training; sampling is i.i.d.-uniform per
+    batch rather than the host generator's exact per-epoch per-document
+    counts.
     """
     kind = objective_kind_from_config(cfg)
     key = jax.random.PRNGKey(cfg.seed)
@@ -209,8 +214,36 @@ def train_model(
         ckpt.save_meta(meta, output_prefix)
         ckpt.save_corpus_sidecars(corpus, output_prefix)
 
+    device_run = None
+    if on_device_sampling:
+        assert kind == ObjectiveKind.TEXT_ENTITY, (
+            "on-device sampling supports the text-entity objective"
+        )
+        assert not cfg.no_shuffle, "on-device sampling is stochastic-only"
+        assert mesh is None, (
+            "on-device sampling with a mesh is not implemented yet"
+        )
+        assert not check_gradients
+        from cunvsm_tpu.data.device_sampler import (
+            make_device_sampled_multistep,
+            prepare_device_corpus,
+        )
+
+        dc = prepare_device_corpus(
+            corpus,
+            weighting=(
+                Weighting.UNIFORM
+                if weighting == Weighting.AUTOMATIC
+                else weighting
+            ),
+            feature_weighting=feature_weighting,
+        )
+        device_run = make_device_sampled_multistep(
+            desc, cfg, dc, max(steps_per_call, 1)
+        )
+
     multistep = None
-    if steps_per_call > 1:
+    if steps_per_call > 1 and not on_device_sampling:
         assert not check_gradients, (
             "check_gradients requires steps_per_call=1"
         )
@@ -276,6 +309,40 @@ def train_model(
     for epoch in range(start_epoch, cfg.num_epochs + 1):
         epoch_start = time.time()
         batch_costs = []
+        if device_run is not None:
+            # Fully on-device epochs: no host batches at all.
+            k = max(steps_per_call, 1)
+            num_calls = max(batches_per_epoch // k, 1)
+            for call in range(num_calls):
+                step_key = jax.random.fold_in(key, total_batches)
+                params, opt_state, costs = device_run(
+                    params, opt_state, step_key
+                )
+                batch_costs.extend(costs[i] for i in range(k))
+                total_batches += k
+            epoch_cost = (
+                float(jnp.mean(jnp.stack(batch_costs)))
+                if batch_costs
+                else 0.0
+            )
+            epoch_costs.append(epoch_cost)
+            duration = time.time() - epoch_start
+            logger.info(
+                "Epoch %d (on-device sampling): cost=%.6f "
+                "(%d steps, %.1fs)",
+                epoch, epoch_cost, len(batch_costs), duration,
+            )
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+            if output_prefix:
+                ckpt.save_model_hdf5(unpad(params), output_prefix, epoch)
+                ckpt.save_training_state(
+                    output_prefix, params, opt_state, epoch
+                )
+            if epoch_callback:
+                epoch_callback(epoch, unpad(params), epoch_cost)
+            continue
         for batch in epoch_stream():
             step_key = jax.random.fold_in(key, total_batches)
             # Single batches have 2-D leading leaves ([B, W] features /

@@ -1,0 +1,126 @@
+"""On-device sampling tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cunvsm_tpu.config import DataConfig, ModelDesc, TrainConfig
+from cunvsm_tpu.data.corpus import build_corpus
+from cunvsm_tpu.data.device_sampler import (
+    make_device_sampled_multistep,
+    prepare_device_corpus,
+    sample_batch,
+)
+from cunvsm_tpu.data.instances import FeatureWeighting, Weighting
+from cunvsm_tpu.models.params import init_params
+from cunvsm_tpu.optim.updates import Optimizer
+
+
+def corpus():
+    docs = [
+        ("d0", "a b c d e f g h"),
+        ("d1", "i j"),  # too short for window 3 after packing
+        ("d2", "k l m n o"),
+    ]
+    return build_corpus(
+        docs,
+        DataConfig(max_vocabulary_size=0, min_document_frequency=0,
+                   max_document_frequency=0),
+        window_size=3,
+    )
+
+
+class TestSampleBatch:
+    def test_windows_valid(self):
+        c = corpus()
+        dc = prepare_device_corpus(c)
+        batch = jax.jit(
+            lambda k: sample_batch(dc, k, 64)
+        )(jax.random.PRNGKey(0))
+        feats = np.asarray(batch.features)
+        labels = np.asarray(batch.labels)
+        assert feats.shape == (64, 3)
+        # Every window is a contiguous in-document slice.
+        for i in range(64):
+            lo = c.doc_offsets[labels[i]]
+            hi = c.doc_offsets[labels[i] + 1]
+            toks = c.tokens[lo:hi]
+            assert any(
+                np.array_equal(toks[p : p + 3], feats[i])
+                for p in range(len(toks) - 2)
+            )
+        # d1 dropped at corpus build (len < window) — labels only 0/1
+        # over the kept docs, all eligible.
+        assert set(np.unique(labels)) <= {0, 1}
+
+    def test_inv_doc_frequency_weights(self):
+        c = corpus()
+        dc = prepare_device_corpus(c, weighting=Weighting.INV_DOC_FREQUENCY)
+        batch = sample_batch(dc, jax.random.PRNGKey(1), 128)
+        lengths = c.doc_lengths
+        avg = lengths.mean()
+        w = np.asarray(batch.weights)
+        labels = np.asarray(batch.labels)
+        np.testing.assert_allclose(
+            w, (avg / lengths[labels]).astype(np.float32), rtol=1e-6
+        )
+
+    def test_self_information_features(self):
+        c = corpus()
+        dc = prepare_device_corpus(
+            c, feature_weighting=FeatureWeighting.SELF_INFORMATION
+        )
+        batch = sample_batch(dc, jax.random.PRNGKey(2), 32)
+        si = c.vocab.self_information().astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(batch.feature_weights),
+            si[np.asarray(batch.features)],
+            rtol=1e-6,
+        )
+
+
+class TestDeviceSampledTraining:
+    def test_multistep_trains(self):
+        c = corpus()
+        dc = prepare_device_corpus(c)
+        desc = ModelDesc(word_repr_size=8, entity_repr_size=6)
+        cfg = TrainConfig(
+            batch_size=32, window_size=3, num_random_entities=2,
+            learning_rate=0.05,
+        )
+        params = init_params(
+            jax.random.PRNGKey(0), c.vocab.size, c.num_docs, desc
+        )
+        opt_state = Optimizer(cfg).init(params)
+        run = make_device_sampled_multistep(desc, cfg, dc, num_steps=20)
+        params, opt_state, costs = run(
+            params, opt_state, jax.random.PRNGKey(1)
+        )
+        costs = np.asarray(costs)
+        assert np.all(np.isfinite(costs))
+        params, opt_state, costs2 = run(
+            params, opt_state, jax.random.PRNGKey(2)
+        )
+        assert np.asarray(costs2).mean() < costs.mean()  # it learns
+
+
+def test_trainer_on_device_sampling(tmp_path):
+    from cunvsm_tpu.train.trainer import train_model
+
+    c = corpus()
+    desc = ModelDesc(word_repr_size=8, entity_repr_size=6)
+    cfg = TrainConfig(
+        num_epochs=3, batch_size=32, window_size=3, num_random_entities=2,
+        learning_rate=0.05,
+    )
+    prefix = str(tmp_path / "m")
+    r = train_model(
+        desc, cfg, c, output_prefix=prefix,
+        on_device_sampling=True, steps_per_call=2,
+    )
+    assert len(r.epoch_costs) == 3
+    assert all(np.isfinite(x) for x in r.epoch_costs)
+    assert r.epoch_costs[-1] < r.epoch_costs[0]
+    import os
+    assert os.path.exists(f"{prefix}_3.hdf5")
