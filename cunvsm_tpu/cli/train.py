@@ -102,6 +102,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Multi-chip mesh as 'DATAxMODEL' (e.g. 2x4): data "
                         "parallelism x entity-table model sharding over all "
                         "visible devices.")
+    p.add_argument("--on_device_sampling", action="store_true",
+                   help="Keep the packed corpus in HBM and sample batches "
+                        "inside the compiled step (stochastic text-entity "
+                        "training only; fastest path).")
     p.add_argument("--output", required=True)
     p.add_argument("--loglevel", default="INFO")
     return p
@@ -207,6 +211,7 @@ def main(argv=None) -> int:
         log_every=args.log_every,
         steps_per_call=args.steps_per_call,
         mesh=mesh,
+        on_device_sampling=args.on_device_sampling,
     )
     logging.info(
         "Finished: %d epochs, %.1f batches/s overall.",

