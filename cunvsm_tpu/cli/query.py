@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "functions.sh:269-271)")
     p.add_argument("--self_information", action="store_true", default=False)
     p.add_argument("--l2norm_phrase", action="store_true", default=False)
+    p.add_argument("--score_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="Document-matrix dtype for scoring; bfloat16 halves "
+                        "the per-query HBM traffic (sub-ms top-1000 at "
+                        "collection scale, see PERFORMANCE.md).")
     p.add_argument("--bias_coefficient", type=float, default=0.0)
     p.add_argument("--strict", action="store_true", default=False)
     p.add_argument("--rerank_exact_matching_documents", action="store_true",
@@ -54,6 +59,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=args.loglevel)
 
+    import jax.numpy as jnp
+
     engine = load_query_engine(
         args.model,
         args.epoch,
@@ -61,6 +68,9 @@ def main(argv=None) -> int:
         bias_coefficient=args.bias_coefficient,
         self_information=args.self_information,
         l2norm_phrase=args.l2norm_phrase,
+        score_dtype=(
+            jnp.bfloat16 if args.score_dtype == "bfloat16" else None
+        ),
     )
     logging.info(
         "Loaded model: %d terms, %d documents.",

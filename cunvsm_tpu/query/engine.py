@@ -94,6 +94,13 @@ class QueryEngine:
             entity / np.maximum(norms, 1e-30),
             dtype=score_dtype or jnp.float32,
         )
+        # Scoring only ever reads the normalized copy; drop the raw entity
+        # matrix so a bf16 engine doesn't keep the f32 table alive in HBM.
+        self.params = params._replace(
+            entity_reprs=jnp.zeros(
+                (0, params.entity_reprs.shape[1]), params.entity_reprs.dtype
+            )
+        )
 
     # -- query-side forward -------------------------------------------------
 
@@ -178,7 +185,15 @@ class QueryEngine:
             return []
         proj = np.asarray(self.infer(r))
         proj = proj / max(np.linalg.norm(proj), 1e-30)
-        sub = np.asarray(self._entity_norm)[ids]
+        # Match the device kernel's quantization exactly (bf16 inputs with
+        # f32 accumulation when score_dtype=bfloat16), so subset scores are
+        # consistent with rank().
+        proj = np.asarray(
+            jnp.asarray(proj, self._entity_norm.dtype), np.float32
+        )
+        sub = np.asarray(
+            self._entity_norm[np.asarray(ids)], dtype=np.float32
+        )
         scores = sub @ proj
         order = np.argsort(-scores)
         return [(self.docnos[ids[i]], float(scores[i])) for i in order]

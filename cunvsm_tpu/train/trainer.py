@@ -147,13 +147,15 @@ def train_model(
 
         model_axis = mesh.shape["model"]
         data_axis = mesh.shape["data"]
-        assert cfg.batch_size % data_axis == 0, (
-            f"batch_size {cfg.batch_size} not divisible by data axis "
-            f"{data_axis}"
-        )
-        assert steps_per_call == 1, (
-            "mesh training currently requires steps_per_call=1"
-        )
+        if cfg.batch_size % data_axis:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by data axis "
+                f"{data_axis}"
+            )
+        if steps_per_call != 1:
+            raise ValueError(
+                "mesh training currently requires steps_per_call=1"
+            )
         num_table_entities = pad_entities(num_real_entities, model_axis)
 
     params = init_params(
@@ -216,14 +218,21 @@ def train_model(
 
     device_run = None
     if on_device_sampling:
-        assert kind == ObjectiveKind.TEXT_ENTITY, (
-            "on-device sampling supports the text-entity objective"
-        )
-        assert not cfg.no_shuffle, "on-device sampling is stochastic-only"
-        assert mesh is None, (
-            "on-device sampling with a mesh is not implemented yet"
-        )
-        assert not check_gradients
+        # Explicit errors (not asserts): these must also fire under -O.
+        if kind != ObjectiveKind.TEXT_ENTITY:
+            raise ValueError(
+                "on-device sampling supports only the text-entity objective"
+            )
+        if cfg.no_shuffle:
+            raise ValueError("on-device sampling is stochastic-only")
+        if mesh is not None:
+            raise ValueError(
+                "on-device sampling with a mesh is not implemented yet"
+            )
+        if check_gradients:
+            raise ValueError(
+                "check_gradients is incompatible with on-device sampling"
+            )
         from cunvsm_tpu.data.device_sampler import (
             make_device_sampled_multistep,
             prepare_device_corpus,
@@ -244,9 +253,8 @@ def train_model(
 
     multistep = None
     if steps_per_call > 1 and not on_device_sampling:
-        assert not check_gradients, (
-            "check_gradients requires steps_per_call=1"
-        )
+        if check_gradients:
+            raise ValueError("check_gradients requires steps_per_call=1")
         multistep = make_multistep_train_step(desc, cfg, steps_per_call, kind)
 
     def epoch_stream():

@@ -208,3 +208,12 @@ class TestQueryExtras:
         r16 = eng16.rank({"q": ["alpha", "beta"]}, top_k=5)["q"]
         # Identical top-5 sets on well-separated random vectors.
         assert [d for d, _ in r32] == [d for d, _ in r16]
+
+    def test_bf16_subset_consistent_with_rank(self):
+        # score_documents must quantize like the device kernel so subset
+        # scores match rank() at bf16 too.
+        eng16, _ = make_engine(score_dtype=jnp.bfloat16)
+        full = dict(eng16.rank({"q": ["alpha"]}, top_k=5)["q"])
+        sub = eng16.score_documents(["alpha"], ["d1", "d3"])
+        for d, s in sub:
+            np.testing.assert_allclose(s, full[d], rtol=1e-5)
