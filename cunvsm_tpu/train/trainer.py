@@ -287,10 +287,12 @@ def train_model(
         from cunvsm_tpu.train.step import make_cost_fn
 
         cost_fn = jax.jit(make_cost_fn(desc, cfg, kind))
+        # Dedicated key stream disjoint from training steps.
+        init_key = jax.random.fold_in(key, 0x7FFFFFFF)
         costs = []
         for i, batch in enumerate(epoch_stream()):
             costs.append(
-                cost_fn(params, batch, jax.random.fold_in(key, -i - 1))
+                cost_fn(params, batch, jax.random.fold_in(init_key, i))
             )
         if costs:
             logger.info(
