@@ -107,12 +107,20 @@ def opt_state_shardings(
     return OptState(word=word, entity=entity, transform=transform)
 
 
-def batch_shardings(mesh: Mesh, batch):
+def batch_shardings(mesh: Mesh, batch, stacked: bool = False):
+    """Shard the batch axis over the data axis; with ``stacked`` the leading
+    [K, ...] step axis is replicated and the second axis is the batch."""
     if isinstance(batch, tuple) and not hasattr(batch, "_fields"):
-        return tuple(batch_shardings(mesh, b) for b in batch)
-    return type(batch)(
-        *[_batch_sharded(mesh, leaf.ndim) for leaf in batch]
-    )
+        return tuple(batch_shardings(mesh, b, stacked) for b in batch)
+
+    def leaf_sharding(leaf):
+        if stacked:
+            spec = P(None, DATA_AXIS, *([None] * (leaf.ndim - 2)))
+        else:
+            spec = P(DATA_AXIS, *([None] * (leaf.ndim - 1)))
+        return NamedSharding(mesh, spec)
+
+    return type(batch)(*[leaf_sharding(leaf) for leaf in batch])
 
 
 def shard_tree(tree, shardings):
@@ -151,6 +159,54 @@ def make_sharded_train_step(
     )
     sharded = jax.jit(
         step,
+        in_shardings=(p_sh, o_sh, b_sh, _replicated(mesh)),
+        out_shardings=(p_sh, o_sh, _replicated(mesh)),
+        donate_argnums=(0, 1),
+    )
+    return (
+        sharded,
+        shard_tree(params, p_sh),
+        shard_tree(opt_state, o_sh),
+    )
+
+
+def make_sharded_multistep(
+    desc: ModelDesc,
+    cfg: TrainConfig,
+    mesh: Mesh,
+    params: ModelParams,
+    opt_state: OptState,
+    example_batch,
+    num_steps: int,
+    kind: Optional[ObjectiveKind] = None,
+    num_entities: Optional[int] = None,
+):
+    """K chained sharded steps per compiled call: stacked [K, ...] batches
+    (batch axis sharded over data), one key, lax.scan inside the pjit."""
+    p_sh = param_shardings(mesh, params)
+    o_sh = opt_state_shardings(mesh, opt_state, params.num_entities)
+    b_sh = batch_shardings(mesh, example_batch, stacked=True)
+
+    step = make_train_step(
+        desc, cfg, kind, jit=False, num_entities=num_entities
+    )
+
+    def multistep(params, opt_state, stacked_batches, key):
+        keys = jax.random.split(key, num_steps)
+
+        def body(carry, inputs):
+            p, o = carry
+            batch, k = inputs
+            p, o, cost = step(p, o, batch, k)
+            return (p, o), cost
+
+        (params, opt_state), costs = jax.lax.scan(
+            body, (params, opt_state), (stacked_batches, keys)
+        )
+        return params, opt_state, costs
+
+    sharded = jax.jit(
+        multistep,
         in_shardings=(p_sh, o_sh, b_sh, _replicated(mesh)),
         out_shardings=(p_sh, o_sh, _replicated(mesh)),
         donate_argnums=(0, 1),

@@ -152,10 +152,6 @@ def train_model(
                 f"batch_size {cfg.batch_size} not divisible by data axis "
                 f"{data_axis}"
             )
-        if steps_per_call != 1:
-            raise ValueError(
-                "mesh training currently requires steps_per_call=1"
-            )
         num_table_entities = pad_entities(num_real_entities, model_axis)
 
     params = init_params(
@@ -169,6 +165,7 @@ def train_model(
             return p
         return p._replace(entity_reprs=p.entity_reprs[:num_real_entities])
 
+    sharded_multi = None
     if mesh is not None:
         B, W = cfg.batch_size, cfg.window_size
         te_example = obj.TextEntityBatch(
@@ -186,6 +183,19 @@ def train_model(
                     ids=jnp.zeros((B, 2), jnp.int32),
                     weights=jnp.ones((B,), dtype),
                 ),
+            )
+        if steps_per_call > 1:
+            from cunvsm_tpu.parallel.mesh import make_sharded_multistep
+
+            stacked_example = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(
+                    x, (steps_per_call,) + x.shape
+                ),
+                example_batch,
+            )
+            sharded_multi, params, opt_state = make_sharded_multistep(
+                desc, cfg, mesh, params, opt_state, stacked_example,
+                steps_per_call, kind, num_entities=num_real_entities,
             )
         step, params, opt_state = make_sharded_train_step(
             desc, cfg, mesh, params, opt_state, example_batch, kind,
@@ -255,7 +265,11 @@ def train_model(
     if steps_per_call > 1 and not on_device_sampling:
         if check_gradients:
             raise ValueError("check_gradients requires steps_per_call=1")
-        multistep = make_multistep_train_step(desc, cfg, steps_per_call, kind)
+        multistep = (
+            sharded_multi
+            if mesh is not None
+            else make_multistep_train_step(desc, cfg, steps_per_call, kind)
+        )
 
     def epoch_stream():
         batches = source.epoch_batches()

@@ -172,3 +172,30 @@ def test_trainer_with_mesh():
     # Results come back unpadded.
     assert result.params.entity_reprs.shape[0] == corpus.num_docs == 13
     assert all(np.isfinite(c) for c in result.epoch_costs)
+
+
+def test_trainer_with_mesh_and_multistep():
+    from cunvsm_tpu.config import DataConfig
+    from cunvsm_tpu.data.corpus import build_corpus
+    from cunvsm_tpu.train.trainer import train_model
+
+    docs = [
+        (f"d{i}", " ".join(
+            f"w{j}" for j in np.random.RandomState(i).randint(0, 30, 25)))
+        for i in range(10)
+    ]
+    corpus = build_corpus(
+        docs,
+        DataConfig(max_vocabulary_size=0, min_document_frequency=0,
+                   max_document_frequency=0),
+        window_size=3,
+    )
+    desc = ModelDesc(word_repr_size=8, entity_repr_size=8)
+    cfg = TrainConfig(
+        num_epochs=2, batch_size=16, window_size=3, num_random_entities=2,
+        learning_rate=0.01,
+    )
+    mesh = make_mesh(2, 4)
+    result = train_model(desc, cfg, corpus, mesh=mesh, steps_per_call=3)
+    assert result.params.entity_reprs.shape[0] == corpus.num_docs
+    assert all(np.isfinite(c) for c in result.epoch_costs)
