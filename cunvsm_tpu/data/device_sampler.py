@@ -101,6 +101,70 @@ def sample_batch(
     )
 
 
+def make_device_sampled_sharded_multistep(
+    desc,
+    cfg,
+    dc: DeviceCorpus,
+    num_steps: int,
+    mesh,
+    params,
+    opt_state,
+    num_entities: Optional[int] = None,
+):
+    """Mesh x on-device-sampling composition: K sharded steps per compiled
+    call, each sampling its own batch from the (replicated) device corpus;
+    sampled batches are sharding-constrained over the data axis so GSPMD
+    partitions the step exactly like the host-fed sharded path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cunvsm_tpu.parallel.mesh import (
+        DATA_AXIS,
+        opt_state_shardings,
+        param_shardings,
+        shard_tree,
+    )
+    from cunvsm_tpu.train.step import make_train_step
+
+    p_sh = param_shardings(mesh, params)
+    o_sh = opt_state_shardings(mesh, opt_state, params.num_entities)
+    repl = NamedSharding(mesh, P())
+    step = make_train_step(desc, cfg, jit=False, num_entities=num_entities)
+
+    def constrain(batch):
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x,
+                NamedSharding(
+                    mesh, P(DATA_AXIS, *([None] * (x.ndim - 1)))
+                ),
+            ),
+            batch,
+        )
+
+    def multistep(params, opt_state, key):
+        keys = jax.random.split(key, num_steps)
+
+        def body(carry, k):
+            p, o = carry
+            k_batch, k_step = jax.random.split(k)
+            batch = constrain(sample_batch(dc, k_batch, cfg.batch_size))
+            p, o, cost = step(p, o, batch, k_step)
+            return (p, o), cost
+
+        (params, opt_state), costs = jax.lax.scan(
+            body, (params, opt_state), keys
+        )
+        return params, opt_state, costs
+
+    sharded = jax.jit(
+        multistep,
+        in_shardings=(p_sh, o_sh, repl),
+        out_shardings=(p_sh, o_sh, repl),
+        donate_argnums=(0, 1),
+    )
+    return sharded, shard_tree(params, p_sh), shard_tree(opt_state, o_sh)
+
+
 def make_device_sampled_multistep(
     desc,
     cfg,

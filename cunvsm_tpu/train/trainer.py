@@ -235,10 +235,6 @@ def train_model(
             )
         if cfg.no_shuffle:
             raise ValueError("on-device sampling is stochastic-only")
-        if mesh is not None:
-            raise ValueError(
-                "on-device sampling with a mesh is not implemented yet"
-            )
         if check_gradients:
             raise ValueError(
                 "check_gradients is incompatible with on-device sampling"
@@ -257,9 +253,21 @@ def train_model(
             ),
             feature_weighting=feature_weighting,
         )
-        device_run = make_device_sampled_multistep(
-            desc, cfg, dc, max(steps_per_call, 1)
-        )
+        if mesh is not None:
+            from cunvsm_tpu.data.device_sampler import (
+                make_device_sampled_sharded_multistep,
+            )
+
+            device_run, params, opt_state = (
+                make_device_sampled_sharded_multistep(
+                    desc, cfg, dc, max(steps_per_call, 1), mesh,
+                    params, opt_state, num_entities=num_real_entities,
+                )
+            )
+        else:
+            device_run = make_device_sampled_multistep(
+                desc, cfg, dc, max(steps_per_call, 1)
+            )
 
     multistep = None
     if steps_per_call > 1 and not on_device_sampling:

@@ -124,3 +124,21 @@ def test_trainer_on_device_sampling(tmp_path):
     assert r.epoch_costs[-1] < r.epoch_costs[0]
     import os
     assert os.path.exists(f"{prefix}_3.hdf5")
+
+
+def test_trainer_mesh_with_on_device_sampling():
+    from cunvsm_tpu.parallel.mesh import make_mesh
+    from cunvsm_tpu.train.trainer import train_model
+
+    c = corpus()
+    desc = ModelDesc(word_repr_size=8, entity_repr_size=8)
+    cfg = TrainConfig(
+        num_epochs=2, batch_size=16, window_size=3, num_random_entities=2,
+        learning_rate=0.05,
+    )
+    mesh = make_mesh(2, 4)
+    r = train_model(
+        desc, cfg, c, mesh=mesh, on_device_sampling=True, steps_per_call=2
+    )
+    assert r.params.entity_reprs.shape[0] == c.num_docs
+    assert all(np.isfinite(x) for x in r.epoch_costs)
