@@ -148,6 +148,14 @@ class TextEntitySource:
             doc_ids[perm].astype(np.int32), positions[perm]
         )
 
+    def skip_epochs(self, n: int) -> None:
+        """Advance the sampling RNG past n epochs (resume support): a
+        resumed run's epoch N+1 must draw the same instances it would have
+        drawn in an uninterrupted run."""
+        for _ in range(n):
+            if self.shuffle:
+                self._stochastic_epoch()
+
     def instances_per_epoch(self) -> int:
         if self.shuffle:
             return len(self._eligible) * self._samples_per_doc

@@ -212,6 +212,9 @@ def train_model(
             output_prefix, params, opt_state
         )
         start_epoch = last_epoch + 1
+        # Replay the data stream's per-epoch RNG draws so the resumed epoch
+        # samples what an uninterrupted run would have sampled.
+        source.skip_epochs(last_epoch)
         logger.info("Resumed from epoch %d.", last_epoch)
 
     if output_prefix and start_epoch == 1:

@@ -318,3 +318,21 @@ class TestPadRemainder:
         # Padding rows carry zero weight; real rows keep theirs.
         assert np.all(batches[1].weights[:2] > 0)
         np.testing.assert_array_equal(batches[1].weights[2:], [0.0, 0.0])
+
+
+class TestSkipEpochs:
+    def test_resume_replays_same_stream(self):
+        docs = [("d0", "a b c d e f g h i j"), ("d1", "k l m n o p")]
+        c = build_corpus(docs, default_cfg(), window_size=3)
+        # Uninterrupted: consume 3 epochs, record epoch 3.
+        src = TextEntitySource(c, batch_size=4, shuffle=True, seed=7)
+        for _ in range(2):
+            list(src.epoch_batches())
+        want = [b.features for b in src.epoch_batches()]
+        # Resumed: skip 2 epochs, epoch 3 must match.
+        src2 = TextEntitySource(c, batch_size=4, shuffle=True, seed=7)
+        src2.skip_epochs(2)
+        got = [b.features for b in src2.epoch_batches()]
+        assert len(got) == len(want)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(a, b)
