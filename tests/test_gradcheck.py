@@ -167,3 +167,41 @@ def test_duplicate_indices_accumulate():
         ModelDesc(),
         cfg,
     )
+
+
+def test_padded_batch_zero_weight_instances():
+    """Zero-weight (padding) instances must contribute nothing to cost or
+    gradients (pad_remainder contract)."""
+    params = make_params(1)
+    full = make_te_batch(1)
+    padded = obj.TextEntityBatch(
+        features=jnp.concatenate([full.features,
+                                  jnp.zeros((2, WINDOW), jnp.int32)]),
+        feature_weights=jnp.concatenate([full.feature_weights,
+                                         jnp.zeros((2, WINDOW))]),
+        labels=jnp.concatenate([full.labels, jnp.zeros((2,), jnp.int32)]),
+        weights=jnp.concatenate([full.weights, jnp.zeros((2,))]),
+    )
+    desc = ModelDesc()
+    ids_full = obj.sample_negative_entities(
+        jax.random.PRNGKey(0), full.labels, NUM_ENTITIES, NUM_NEG
+    )
+    ids_pad = jnp.concatenate(
+        [ids_full, jnp.zeros((2, NUM_NEG + 1), jnp.int32)]
+    )
+    # Same normalizer (the padded batch uses the real-count normalizer).
+    c_full, _, g_full = obj.text_entity_cost_and_grads(
+        params, full, ids_full, desc, batch_size_normalizer=BATCH
+    )
+    c_pad, _, g_pad = obj.text_entity_cost_and_grads(
+        params, padded, ids_pad, desc, batch_size_normalizer=BATCH
+    )
+    np.testing.assert_allclose(float(c_full), float(c_pad), rtol=1e-10)
+    from cunvsm_tpu.train.gradcheck import densify_grads
+
+    d_full = densify_grads(params, g_full)
+    d_pad = densify_grads(params, g_pad)
+    for a, b in zip(d_full, d_pad):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12
+        )
