@@ -124,15 +124,21 @@ def main(argv=None) -> int:
             )
             return 1
         from cunvsm_tpu.config import DataConfig
-        from cunvsm_tpu.data.corpus import load_corpus
+        from cunvsm_tpu.data.corpus import Corpus, load_corpus
         from cunvsm_tpu.query.qlm import build_qlm_index, tfidf_rank
 
-        corpus = load_corpus(
-            DataConfig(corpus_path=args.corpus, max_vocabulary_size=0,
-                       min_document_frequency=0, max_document_frequency=0),
-            window_size=1,
-            stopword_path=args.stopwords,
-        )
+        if args.corpus.endswith(".npz"):
+            # The TFIDF prefilter doesn't care about the packed corpus's
+            # training window.
+            corpus = Corpus.load(args.corpus)
+        else:
+            corpus = load_corpus(
+                DataConfig(corpus_path=args.corpus, max_vocabulary_size=0,
+                           min_document_frequency=0,
+                           max_document_frequency=0),
+                window_size=1,
+                stopword_path=args.stopwords,
+            )
         qlm_index = build_qlm_index(corpus)
         qrel_sets = {
             qid: {d: 1 for d, _ in tfidf_rank(qlm_index, terms, 1000)}

@@ -49,13 +49,25 @@ class NVSM:
         strict: bool = False,
         **_unused,
     ):
-        from cunvsm_tpu.query.engine import load_query_engine
+        from cunvsm_tpu.query.engine import QueryEngine
 
         if callable(nonlinearity):  # np.tanh passed like the reference
             nonlinearity = "tanh"
-        self._engine = load_query_engine(
-            path,
-            epoch,
+        # Load the checkpoint once; the engine is constructed from the same
+        # params (and drops its own raw entity copy after normalizing).
+        params = _ckpt.load_model_hdf5(path, epoch)
+        self.object_representations = np.asarray(params.entity_reprs)
+        terms = _ckpt.load_strings(f"{path}_vocab.txt")
+        docnos = _ckpt.load_strings(f"{path}_docnos.txt")
+        freqs = np.zeros(len(terms), dtype=np.int64)
+        for t in meta.term:
+            freqs[t.model_term_id] = t.term_frequency
+        self._engine = QueryEngine(
+            params,
+            terms,
+            docnos,
+            term_frequencies=freqs,
+            total_terms=meta.total_terms,
             nonlinearity=nonlinearity,
             bias_coefficient=bias_coefficient,
             self_information=self_information,
@@ -67,9 +79,6 @@ class NVSM:
         self.word_representations = self._engine._word_reprs_np
         self.num_terms = self.word_representations.shape[0]
         self.term_repr_size = self.word_representations.shape[1]
-        self.object_representations = np.asarray(
-            _ckpt.load_model_hdf5(path, epoch).entity_reprs
-        )
         self.num_objects = self.object_representations.shape[0]
         self.object_repr_size = self.object_representations.shape[1]
         self.transform_matrix = np.asarray(self._engine.params.transform_w)
@@ -91,10 +100,10 @@ class NVSM:
             self.object_mapping[o.model_object_id] = o.index_object_id
             self.inv_object_mapping[o.index_object_id] = o.model_object_id
 
-        # Term strings (the reference needs pyndri for these; this framework
-        # ships them as a sidecar).
-        self._terms = _ckpt.load_strings(f"{path}_vocab.txt")
-        self._docnos = _ckpt.load_strings(f"{path}_docnos.txt")
+        # Term/docno strings (the reference needs pyndri for these; this
+        # framework ships them as sidecars, already loaded above).
+        self._terms = terms
+        self._docnos = docnos
 
     def __repr__(self):
         return (

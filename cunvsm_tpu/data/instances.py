@@ -120,6 +120,12 @@ class TextEntitySource:
             )
         else:
             self._term_weights = None
+        # Cache corpus-wide statistics used by INV_DOC_FREQUENCY weighting;
+        # doc_lengths is a derived property (np.diff) and must not be
+        # recomputed per batch on the host hot path.
+        self._doc_lengths = lengths
+        self._index_lengths = corpus.index_lengths
+        self._avg_index_length = corpus.avg_index_length
 
     # -- epoch structure ----------------------------------------------------
 
@@ -189,14 +195,14 @@ class TextEntitySource:
             if self.shuffle:
                 # Stochastic generator computes the ratio over in-vocab
                 # lengths (data_indri.cpp:300-310).
-                lengths = self.corpus.doc_lengths[doc_ids]
+                lengths = self._doc_lengths[doc_ids]
                 weights = (self._avg_invocab_len / lengths).astype(np.float32)
             else:
                 # Sequential generator uses index lengths
                 # (data_indri.cpp:158-165).
-                lengths = self.corpus.index_lengths[doc_ids]
+                lengths = self._index_lengths[doc_ids]
                 weights = (
-                    self.corpus.avg_index_length / lengths
+                    self._avg_index_length / lengths
                 ).astype(np.float32)
         else:
             weights = np.ones(len(doc_ids), dtype=np.float32)

@@ -44,10 +44,14 @@ def checkpoint_path(prefix: str, epoch) -> str:
     return f"{prefix}_{epoch}.hdf5"
 
 
-def save_model_hdf5(params: ModelParams, prefix: str, epoch) -> str:
+def save_model_hdf5(
+    params: ModelParams, prefix: str, epoch, overwrite: bool = False
+) -> str:
     path = checkpoint_path(prefix, epoch)
     # 'w-' == H5F_ACC_EXCL: refuse to overwrite (lse_hdf5_inl.h:25).
-    with h5py.File(path, "w-") as f:
+    # ``overwrite`` is used by resumed runs re-dumping an epoch whose HDF5
+    # landed before the crash cut off the resume state.
+    with h5py.File(path, "w" if overwrite else "w-") as f:
         f.create_dataset(
             WORD_REPRS, data=np.asarray(params.word_reprs, dtype=np.float32)
         )

@@ -91,6 +91,10 @@ def l2_normalize_rows(x: jax.Array) -> jax.Array:
     The reference normalizes per *column* of its column-major matrices, which
     corresponds to per-instance rows here.  Autodiff through this expression
     reproduces the reference's hand-written quotient-rule backward.
+
+    All-zero rows (which the reference never produces, but zero-weight
+    padding instances do) normalize to zero instead of NaN; the clamp is
+    inactive for any row of realistic magnitude.
     """
     norms = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
-    return x / norms
+    return x / jnp.maximum(norms, jnp.asarray(1e-30, x.dtype))

@@ -96,7 +96,12 @@ def _chunk_align(
         rows_sorted, jnp.arange(0, num_rows_pad + 1, tile_rows, dtype=jnp.int32)
     ).astype(jnp.int32)  # [T+1]
     counts = starts[1:] - starts[:-1]
-    aligned_counts = ((counts + chunk - 1) // chunk) * chunk
+    # Every tile gets at least one (possibly all-padding) chunk so its
+    # output block is always visited and zero-initialized — unvisited Pallas
+    # output blocks would hold garbage.
+    aligned_counts = jnp.maximum(
+        ((counts + chunk - 1) // chunk) * chunk, chunk
+    )
     aligned_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_counts, dtype=jnp.int32)]
     )  # [T+1]

@@ -205,15 +205,18 @@ def train_model(
         step = make_train_step(desc, cfg, kind)
 
     start_epoch = 1
+    resumed_batches = 0
     if resume and output_prefix and os.path.exists(
         f"{output_prefix}_resume.npz"
     ):
-        params, opt_state, last_epoch, _ = ckpt.load_training_state(
+        params, opt_state, last_epoch, extra = ckpt.load_training_state(
             output_prefix, params, opt_state
         )
         start_epoch = last_epoch + 1
+        resumed_batches = int(extra.get("total_batches", 0))
         # Replay the data stream's per-epoch RNG draws so the resumed epoch
-        # samples what an uninterrupted run would have sampled.
+        # samples what an uninterrupted run would have sampled; the step
+        # counter below replays the per-step PRNG keys the same way.
         source.skip_epochs(last_epoch)
         logger.info("Resumed from epoch %d.", last_epoch)
 
@@ -282,11 +285,11 @@ def train_model(
             else make_multistep_train_step(desc, cfg, steps_per_call, kind)
         )
 
-    def epoch_stream():
+    def epoch_stream(group: bool = True):
         batches = source.epoch_batches()
         if kind != ObjectiveKind.TEXT_ENTITY:
             batches = zip_sources(batches, sim_iter)
-        if steps_per_call > 1:
+        if group and steps_per_call > 1:
             def grouped(it):
                 group = []
                 for b in it:
@@ -315,7 +318,8 @@ def train_model(
         # Dedicated key stream disjoint from training steps.
         init_key = jax.random.fold_in(key, 0x7FFFFFFF)
         costs = []
-        for i, batch in enumerate(epoch_stream()):
+        # Always single batches here (the cost fn is per-batch).
+        for i, batch in enumerate(epoch_stream(group=False)):
             costs.append(
                 cost_fn(params, batch, jax.random.fold_in(init_key, i))
             )
@@ -329,7 +333,11 @@ def train_model(
         ckpt.save_model_hdf5(unpad(params), output_prefix, 0)
 
     epoch_costs: List[float] = []
-    total_batches = 0
+    total_batches = resumed_batches
+    if resumed_batches and sim_iter is not None:
+        # Fast-forward the similarity stream past the consumed batches.
+        for _ in range(resumed_batches):
+            next(sim_iter)
     train_start = time.time()
     batches_per_epoch = max(source.batches_per_epoch(), 1)
 
@@ -444,9 +452,15 @@ def train_model(
             jax.profiler.stop_trace()
             profiling = False
         if output_prefix:
-            ckpt.save_model_hdf5(unpad(params), output_prefix, epoch)
+            ckpt.save_model_hdf5(
+                unpad(params), output_prefix, epoch,
+                overwrite=resume,
+            )
             # The resume state keeps the padded layout for mesh consistency.
-            ckpt.save_training_state(output_prefix, params, opt_state, epoch)
+            ckpt.save_training_state(
+                output_prefix, params, opt_state, epoch,
+                extra={"total_batches": np.asarray(total_batches)},
+            )
         if epoch_callback:
             epoch_callback(epoch, unpad(params), epoch_cost)
 

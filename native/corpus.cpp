@@ -54,10 +54,30 @@ struct Corpus {
 };
 
 bool is_number(const std::string& term) {
+    // Must match the Python oracle: float(term) over the token alphabet
+    // [a-z0-9] (no '.', '+', '-' can appear).  Accepted forms: "nan",
+    // "inf"/"infinity", and DIGITS[eDIGITS].  Note strtod is NOT equivalent
+    // (it also accepts C99 hex like "0x1a", which Python rejects).
     if (term.empty()) return false;
-    char* end = nullptr;
-    std::strtod(term.c_str(), &end);
-    return end != nullptr && *end == '\0';
+    if (term == "nan" || term == "inf" || term == "infinity") return true;
+    size_t i = 0;
+    size_t digits = 0;
+    while (i < term.size() && std::isdigit(
+               static_cast<unsigned char>(term[i]))) {
+        ++i;
+        ++digits;
+    }
+    if (digits == 0) return false;
+    if (i == term.size()) return true;
+    if (term[i] != 'e') return false;
+    ++i;
+    size_t exp_digits = 0;
+    while (i < term.size() && std::isdigit(
+               static_cast<unsigned char>(term[i]))) {
+        ++i;
+        ++exp_digits;
+    }
+    return i == term.size() && exp_digits > 0;
 }
 
 void tokenize(const std::string& text,

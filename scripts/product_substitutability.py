@@ -73,6 +73,12 @@ def main(argv=None):
 
     os.makedirs(args.workdir, exist_ok=True)
     stopwords = frozenset(ENGLISH_STOP_WORDS)
+    # The corpus must be stopword-filtered like the queries (the reference
+    # indexes with a stoplist, functions.sh:344-350); load_corpus takes a
+    # file path.
+    stopword_path = os.path.join(args.workdir, "stopwords.txt")
+    with open(stopword_path, "w") as f:
+        f.write("\n".join(sorted(stopwords)) + "\n")
 
     with open(os.path.join(args.resources, "product_list")) as f:
         product_list = [line.strip() for line in f if line.strip()]
@@ -89,7 +95,7 @@ def main(argv=None):
         max_document_frequency=0.5,
         document_list=None,
     )
-    corpus = load_corpus(data_cfg, window)
+    corpus = load_corpus(data_cfg, window, stopword_path)
     # Restrict to the evaluation product list where provided.
     logging.info(
         "Corpus: %d products, %d terms.", corpus.num_docs, corpus.vocab.size

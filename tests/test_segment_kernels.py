@@ -69,3 +69,22 @@ def test_empty_updates():
         interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(got), np.zeros((32, 8)))
+
+
+def test_entirely_empty_tiles_are_zero():
+    """Row tiles receiving no updates must come back exactly zero (their
+    output blocks are visited by an all-padding chunk)."""
+    rng = np.random.RandomState(2)
+    U, num_rows, d = 300, 1024, 8
+    rows = np.sort(rng.randint(0, 10, U)).astype(np.int32)  # tiles 1..7 empty
+    upd = rng.randn(U, d).astype(np.float32)
+    got = np.asarray(
+        sorted_segment_sum_pallas(
+            jnp.asarray(upd), jnp.asarray(rows), num_rows,
+            tile_rows=128, chunk=64, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(
+        got, reference(upd, rows, num_rows), rtol=1e-5, atol=1e-5
+    )
+    assert np.all(got[128:] == 0.0)

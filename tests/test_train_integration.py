@@ -137,3 +137,36 @@ def test_resume_continues(trained, tmp_path):
     )
     assert len(result2.epoch_costs) == 1  # only the extra epoch ran
     assert np.isfinite(result2.epoch_costs[0])
+
+
+def test_resume_equals_uninterrupted(tmp_path):
+    """2+2 epochs with resume must produce exactly the params of an
+    uninterrupted 4-epoch run (instance stream + per-step PRNG keys both
+    continue where they left off)."""
+    docs, _ = synthetic_corpus(num_docs_per_topic=3, doc_len=20)
+    corpus = build_corpus(
+        docs,
+        DataConfig(max_vocabulary_size=0, min_document_frequency=0,
+                   max_document_frequency=0),
+        window_size=4,
+    )
+    desc = ModelDesc(word_repr_size=8, entity_repr_size=6)
+
+    def cfg(n):
+        return TrainConfig(
+            num_epochs=n, batch_size=8, window_size=4,
+            num_random_entities=2, learning_rate=0.01, seed=3,
+        )
+
+    straight = train_model(desc, cfg(4), corpus)
+
+    prefix = str(tmp_path / "m")
+    train_model(desc, cfg(2), corpus, output_prefix=prefix)
+    resumed = train_model(
+        desc, cfg(4), corpus, output_prefix=prefix, resume=True
+    )
+
+    for a, b in zip(straight.params, resumed.params):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        )
