@@ -217,3 +217,33 @@ class TestQueryExtras:
         sub = eng16.score_documents(["alpha"], ["d1", "d3"])
         for d, s in sub:
             np.testing.assert_allclose(s, full[d], rtol=1e-5)
+
+
+class TestCrossValidatedFusion:
+    def test_cv_alpha_search_prefers_better_run(self):
+        from cunvsm_tpu.query.fusion import fuse_cross_validated
+
+        # run_good ranks the relevant doc first for every query; run_bad is
+        # inverted.  CV fusion should learn alpha weighting run_good high and
+        # produce near-perfect fused rankings on held-out folds.
+        qrels = {f"q{i}": {"rel": 1, "irr": 0} for i in range(10)}
+        run_good = {f"q{i}": [("rel", 2.0), ("irr", 1.0)] for i in range(10)}
+        run_bad = {f"q{i}": [("irr", 2.0), ("rel", 1.0)] for i in range(10)}
+        fused = fuse_cross_validated(
+            run_good, run_bad, qrels, num_folds=5, alpha_stepsize=0.25,
+            normalizer="minmax",
+        )
+        assert set(fused) == set(qrels)
+        from cunvsm_tpu.query.metrics import evaluate_run
+
+        m = evaluate_run(fused, qrels, measures=("map",))
+        assert m["map"] == 1.0
+
+    def test_recall_metric(self):
+        from cunvsm_tpu.query.metrics import recall_at
+
+        ranked = [("a", 3.0), ("b", 2.0), ("c", 1.0)]
+        rels = {"a": 1, "c": 1, "z": 1}
+        assert recall_at(ranked, rels, 1) == 1 / 3
+        assert recall_at(ranked, rels, 3) == 2 / 3
+        assert recall_at(ranked, {}, 3) is None
