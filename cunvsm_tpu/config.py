@@ -114,12 +114,25 @@ class TrainConfig:
 
     no_shuffle: bool = False
 
+    # Mixed precision for the HBM-bandwidth-bound streams: "bfloat16" runs
+    # the embedding-table gathers, the NCE dot products, and the sparse
+    # gradient-accumulation streams in bfloat16 while master tables,
+    # optimizer moments, and every reduction stay float32 (the TPU analog of
+    # the reference's fp32 -use_fast_math release build,
+    # cpp/CMakeLists.txt:20 + CMakeLists.txt:70-72).  "float32" (default)
+    # disables all casts (tests run float64 through the same path).
+    stream_dtype: str = "float32"
+
     # Multi-objective ("Mix 'n Match", CIKM 2018) mixture weights.
     text_entity_weight: float = 1.0
     entity_entity_weight: float = 0.0
     term_term_weight: float = 0.0
 
     seed: int = 1
+
+    def resolved_stream_dtype(self) -> Optional[str]:
+        """None when no stream casting is requested (the default)."""
+        return None if self.stream_dtype == "float32" else self.stream_dtype
 
     def resolved_learning_rate(self) -> float:
         if self.learning_rate != 0.0:

@@ -105,11 +105,21 @@ def gather_phrase_reprs(
     out[i] = (1/window) * sum_w feature_weights[i, w] * word_reprs[features[i, w]]
     (average_repr_kernel, params.cu:77-95; note division by window, not by the
     weight sum).
+
+    When ``word_reprs`` is bfloat16 (mixed-precision streams) the gather and
+    multiply run at half traffic while the window reduction accumulates in
+    float32.
     """
     window = features.shape[1]
     gathered = jnp.take(word_reprs, features, axis=0)  # [B, W, d]
+    acc_dtype = (
+        jnp.float32 if gathered.dtype == jnp.bfloat16 else gathered.dtype
+    )
     return jnp.einsum(
-        "bw,bwd->bd", feature_weights.astype(gathered.dtype), gathered
+        "bw,bwd->bd",
+        feature_weights.astype(gathered.dtype),
+        gathered,
+        preferred_element_type=acc_dtype,
     ) / window
 
 
@@ -253,6 +263,7 @@ def text_entity_cost_and_grads(
     desc: ModelDesc,
     batch_size_normalizer: jax.Array | float | None = None,
     factored_entity_grads: bool = False,
+    stream_dtype=None,
 ):
     """Cost + ascent gradients in the reference's sparse-descriptor form.
 
@@ -275,13 +286,27 @@ def text_entity_cost_and_grads(
     window = batch.features.shape[1]
     num_negative = entity_ids.shape[1] - 1
 
+    word_table = params.word_reprs
+    entity_table = params.entity_reprs
+    use_factored = factored_entity_grads and not desc.l2_normalize_entity_reprs
+    if (
+        stream_dtype is not None
+        and use_factored
+        and jnp.dtype(stream_dtype) != word_table.dtype
+    ):
+        # Mixed precision (factored path only): the streamed table copies
+        # are cheap sequential reads; the gathers that dominate the step
+        # then move half the bytes.  Masters stay float32.
+        word_table = word_table.astype(stream_dtype)
+        entity_table = entity_table.astype(stream_dtype)
+
     phrase_pre = gather_phrase_reprs(
-        params.word_reprs, batch.features, batch.feature_weights
+        word_table, batch.features, batch.feature_weights
     )
-    entity_pre = jnp.take(params.entity_reprs, entity_ids, axis=0)
+    entity_pre = jnp.take(entity_table, entity_ids, axis=0)
     nce_w = nce_instance_weights(batch.weights, num_negative, desc)
 
-    if factored_entity_grads and not desc.l2_normalize_entity_reprs:
+    if use_factored:
         return _cost_and_grads_factored(
             phrase_pre, entity_pre, params, batch, entity_ids, nce_w, desc,
             batch_size_normalizer, window,
@@ -337,6 +362,12 @@ def _cost_and_grads_factored(
     eps_f = desc.sigmoid_eps_forward if desc.clip_sigmoid else 0.0
     eps_b = desc.sigmoid_eps_backward if desc.clip_sigmoid else 0.0
 
+    acc_dtype = (
+        jnp.float32
+        if entity_pre.dtype == jnp.bfloat16
+        else entity_pre.dtype
+    )
+
     def loss_fn(phrase_pre_, w_, b_, dots_offset):
         phrase = phrase_pre_
         if desc.l2_normalize_phrase_reprs:
@@ -344,16 +375,23 @@ def _cost_and_grads_factored(
         projections = apply_transform(
             phrase, w_, b_, desc, desc.batch_normalization
         )
+        # Match the entity stream dtype so the NCE dot reads both operands
+        # at stream width and accumulates in float32 on the MXU.
         dots = (
-            jnp.einsum("bd,bkd->bk", projections, entity_pre)
-            * signs[None, :]
+            jnp.einsum(
+                "bd,bkd->bk",
+                projections.astype(entity_pre.dtype),
+                entity_pre,
+                preferred_element_type=acc_dtype,
+            )
+            * signs[None, :].astype(acc_dtype)
             + dots_offset
         )
         log_probs = log_truncated_sigmoid(dots, eps_f, eps_b)
         cost = -jnp.sum(nce_w * log_probs) / batch_size_normalizer
         return cost, (truncated_sigmoid(dots, eps_f), projections)
 
-    dots_offset = jnp.zeros(entity_ids.shape, entity_pre.dtype)
+    dots_offset = jnp.zeros(entity_ids.shape, acc_dtype)
     (cost, (similarity_probs, projections)), grads = jax.value_and_grad(
         loss_fn, argnums=(0, 1, 2, 3), has_aux=True
     )(phrase_pre, params.transform_w, params.transform_b, dots_offset)

@@ -113,7 +113,9 @@ def _scatter_add(table: jax.Array, desc: SparseGrad, scale) -> jax.Array:
 
 
 def _sorted_segment_accumulate(
-    num_rows: int, descs: Tuple[SparseGrad, ...]
+    num_rows: int,
+    descs: Tuple[SparseGrad, ...],
+    stream_dtype=None,
 ) -> jax.Array:
     """Dense accumulation of sparse descriptors: S[v] = sum over (i, w) with
     indices[i, w] == v of weights[i, w] * grad[i].
@@ -153,11 +155,22 @@ def _sorted_segment_accumulate(
     ptr = jnp.concatenate(ptr_parts) if len(descs) > 1 else ptr_parts[0]
     wts = jnp.concatenate(w_parts) if len(descs) > 1 else w_parts[0]
 
+    out_dtype = grads.dtype
+    if stream_dtype is not None and jnp.dtype(stream_dtype) != grads.dtype:
+        # Mixed-precision stream: the permuted gather and the materialized
+        # [updates, dim] stream move half the bytes; the segment reduction
+        # below still accumulates at full width (the up-convert fuses into
+        # the scatter's update computation).
+        grads = grads.astype(stream_dtype)
+        wts = wts.astype(stream_dtype)
+
     # One fused multi-operand sort is cheaper on TPU than argsort + takes.
     idx_s, ptr_s, wts_s = jax.lax.sort((idx, ptr, wts), num_keys=1)
     upd_s = jnp.take(grads, ptr_s, axis=0) * wts_s[:, None].astype(
         grads.dtype
     )
+    if upd_s.dtype != out_dtype:
+        upd_s = upd_s.astype(out_dtype)
     from cunvsm_tpu.ops.segment_kernels import sorted_segment_sum
 
     return sorted_segment_sum(upd_s, idx_s, num_rows)
@@ -294,18 +307,25 @@ def _repr_adam_dense_update(state, table, descs, lr, lam, beta1, beta2, eps):
     return ReprAdamState(m, v, state.t + 1), table
 
 
-def _repr_adam_full(state, table, descs, lr, lam, beta1, beta2, eps):
+def _repr_adam_full(
+    state, table, descs, lr, lam, beta1, beta2, eps, stream_dtype=None
+):
     # DENSE_UPDATE_DENSE_VARIANCE mode (updates_adam.cu:203-213,253-282,
     # 312-328): dense m and v with L2 folded into the moments.  The m update
     # and the squared-gradient aggregate consume the *same* dense scatter, so
-    # it is computed once (the reference scatters twice).
-    scattered = _sorted_segment_accumulate(table.shape[0], tuple(descs))
-    m = beta1 * state.m + (1.0 - beta1) * scattered
-    m = m - (1.0 - beta1) * lam * table
-    agg = scattered - lam * table
-    v = beta2 * state.v + (1.0 - beta2) * jnp.square(agg)
+    # it is computed once (the reference scatters twice).  The dense sweep
+    # runs as one fused pass (ops/adam_sweep.py) — 4R read + 3R write instead
+    # of one fusion per output.
+    from cunvsm_tpu.ops.adam_sweep import fused_adam_dense_sweep
+
+    scattered = _sorted_segment_accumulate(
+        table.shape[0], tuple(descs), stream_dtype
+    )
     bc = _adam_bias_correction(beta1, beta2, state.t, table.dtype)
-    table = table + lr * bc * m / (jnp.sqrt(v) + eps)
+    m, v, table = fused_adam_dense_sweep(
+        table, state.m, state.v, scattered, lr * bc,
+        lam=lam, beta1=beta1, beta2=beta2, eps=eps,
+    )
     return ReprAdamState(m, v, state.t + 1), table
 
 
@@ -436,7 +456,9 @@ class Optimizer:
         elif mode == AdamMode.DENSE_UPDATE:
             state, table = _repr_adam_dense_update(*args)
         elif mode == AdamMode.DENSE_UPDATE_DENSE_VARIANCE:
-            state, table = _repr_adam_full(*args)
+            state, table = _repr_adam_full(
+                *args, stream_dtype=cfg.resolved_stream_dtype()
+            )
         else:
             raise ValueError(f"unknown adam mode {mode}")
         return table, state

@@ -69,6 +69,7 @@ def _text_entity_grads(params, batch, key, desc, cfg, num_entities=None):
     cost, _, grads = obj.text_entity_cost_and_grads(
         params, batch, entity_ids, desc,
         factored_entity_grads=_accumulate_only_optimizer(cfg),
+        stream_dtype=cfg.resolved_stream_dtype(),
     )
     return cost, grads
 
