@@ -185,6 +185,27 @@ def load_corpus(
                 f"{packed.window_size}, requested {window_size}"
             )
         return packed
+
+    from cunvsm_tpu.data.indri import (
+        build_corpus_from_indri,
+        is_indri_repository,
+    )
+
+    if is_indri_repository(cfg.corpus_path):
+        document_list = None
+        if cfg.document_list:
+            with open(cfg.document_list) as f:
+                document_list = [line.strip() for line in f if line.strip()]
+        blacklist = None
+        if cfg.term_blacklist:
+            with open(cfg.term_blacklist) as f:
+                blacklist = frozenset(
+                    line.strip().lower() for line in f if line.strip()
+                )
+        return build_corpus_from_indri(
+            cfg.corpus_path, cfg, window_size,
+            document_list=document_list, term_blacklist=blacklist,
+        )
     if (
         use_native
         and os.path.isfile(cfg.corpus_path)

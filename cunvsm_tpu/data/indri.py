@@ -1,0 +1,503 @@
+"""Pure-Python reader for Indri 5.x DiskIndex repositories.
+
+The reference trains directly from an Indri index via the lemur C++ API
+(/root/reference/cpp/data_indri.cpp:16-107) and defines its vocabulary and
+document-id mappings against Indri internal term/document ids
+(data_indri.cpp:652-869).  This module reads the on-disk DiskIndex format
+directly — no Indri build required — so an existing index (e.g. the
+checked-in ``test_data/Brown_index``, or a TOIS/Robust04 index) can be
+consumed and the ``_meta`` checkpoint ids stay interoperable with
+pyndri-based consumers.
+
+On-disk layout (reverse-engineered against Brown_index, verified by the
+real-index integration tests in tests/test_indri.py):
+
+* ``manifest`` / ``index/N/manifest``: XML parameter trees with corpus
+  statistics (document-base, total-documents, total-terms, unique-terms,
+  frequent-terms) and the indexing-time stopper/stemmer.
+* ``index/0/documentLengths``: little-endian uint32 per document (the
+  Indri "document length" — includes stopped positions; their sum equals
+  the manifest's total-terms).
+* ``index/0/documentStatistics``: 24-byte records
+  (offset u64, byteLength i32, indexedLength i32, totalLength i32,
+  uniqueTermCount i32) locating each document's term list in the direct
+  file.
+* ``index/0/directFile``: per-document RVL-compressed term lists:
+  (termCount, fieldCount, termCount * termID); termID 0 marks a stopped
+  position.
+* ``index/0/{frequent,infrequent}String``: BulkTree B+-trees of
+  term-string -> term data.  Blocks are 8 KiB: a uint16 LE header whose
+  low 15 bits are the entry count and high bit the leaf flag, entry
+  key/value bytes growing from the front, and a directory of
+  (valueStart, valueEnd) uint16 LE pairs growing from the back (key_i
+  spans [valueEnd_{i-1}, valueStart_i)).  Leaf values are RVL tuples
+  (totalCount, documentCount, maxDocLength, minDocLength, termID,
+  invertedOffset, invertedLength).  Frequent terms own ids
+  1..frequent-terms ordered by collection frequency; infrequent tree ids
+  are alphabetical ranks, offset by the frequent count.
+* ``collection/{forward,reverse}Lookup0``: lemur Keyfile B-trees mapping
+  internal document id <-> docno.  Blocks are 4 KiB big-endian:
+  (keys u16, chars u16, type u8, prefix_lc u8, ...), an offset table, then
+  prefix-compressed entries stored back-to-front in descending key order
+  (lc u8, ln u8, suffix, total_value_len u8, value[total_value_len - 1]),
+  with the block-common key prefix in the final ``prefix_lc`` bytes.
+  Document-id keys use a base-64 byte encoding (byte - 0x40 per 6 bits).
+
+RVL compression (lemur RVLCompress): 7 data bits per byte, little-endian
+groups, high bit set on the terminating byte.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+import struct
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+KEYFILE_BLOCK = 4096
+BULKTREE_BLOCK = 8192
+
+
+# ---------------------------------------------------------------------------
+# RVL decoding.
+# ---------------------------------------------------------------------------
+
+
+def rvl_decode_one(buf: bytes, pos: int) -> Tuple[int, int]:
+    """Decode one RVL integer; returns (value, next_pos)."""
+    val = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        if b & 0x80:
+            return val | ((b & 0x7F) << shift), pos
+        val |= b << shift
+        shift += 7
+
+
+def rvl_decode_all(buf: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized decode of a whole RVL stream.
+
+    Returns (values, start_offsets): every integer in the stream plus the
+    byte offset where each begins — callers map byte offsets to value
+    indices via searchsorted.
+    """
+    bits = (buf & 0x7F).astype(np.uint64)
+    ends = (buf & 0x80) != 0
+    # Group id of each byte: index of the integer it belongs to.
+    group = np.zeros(len(buf), dtype=np.int64)
+    group[1:] = np.cumsum(ends[:-1])
+    starts = np.flatnonzero(
+        np.concatenate(([True], ends[:-1]))
+    )
+    within = np.arange(len(buf), dtype=np.int64) - starts[group]
+    contrib = bits << (7 * within.astype(np.uint64))
+    values = np.add.reduceat(contrib, starts)
+    return values.astype(np.int64), starts
+
+
+# ---------------------------------------------------------------------------
+# BulkTree (term-string / term-id B+-trees).
+# ---------------------------------------------------------------------------
+
+
+def iter_bulktree_leaves(path: str) -> Iterator[Tuple[bytes, bytes]]:
+    """Yield (key, value) for every entry in every leaf block."""
+    data = open(path, "rb").read()
+    for base in range(0, len(data), BULKTREE_BLOCK):
+        blk = data[base : base + BULKTREE_BLOCK]
+        header = struct.unpack("<H", blk[0:2])[0]
+        count, leaf = header & 0x7FFF, bool(header & 0x8000)
+        if count == 0 or not leaf:
+            continue
+        dirpos = BULKTREE_BLOCK
+        prev_end = 2
+        for _ in range(count):
+            vs, ve = struct.unpack("<HH", blk[dirpos - 4 : dirpos])
+            dirpos -= 4
+            yield blk[prev_end:vs], blk[vs:ve]
+            prev_end = ve
+
+
+@dataclasses.dataclass
+class TermEntry:
+    term: str
+    term_id: int  # Indri internal term id
+    total_count: int  # collection frequency
+    document_count: int  # document frequency
+
+
+def _parse_term_entries(path: str, id_offset: int) -> List[TermEntry]:
+    out = []
+    for key, val in iter_bulktree_leaves(path):
+        pos = 0
+        cf, pos = rvl_decode_one(val, pos)
+        df, pos = rvl_decode_one(val, pos)
+        _max_dl, pos = rvl_decode_one(val, pos)
+        _min_dl, pos = rvl_decode_one(val, pos)
+        tid, pos = rvl_decode_one(val, pos)
+        out.append(
+            TermEntry(key.decode("utf-8", "replace"), tid + id_offset, cf, df)
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Keyfile (docno lookups).
+# ---------------------------------------------------------------------------
+
+
+def _parse_keyfile_entries(blk, start, nkeys, end_limit):
+    """Parse ``nkeys`` (lc, suffix, value) entries in [start, end_limit);
+    returns None unless they fit exactly."""
+    if start < 0:
+        return None
+    pos = start
+    raw: List[Tuple[int, bytes, bytes]] = []
+    for _ in range(nkeys):
+        if pos + 2 >= end_limit:
+            return None
+        lc, ln = blk[pos], blk[pos + 1]
+        vpos = pos + 2 + ln
+        if vpos >= end_limit or blk[vpos] < 1:
+            return None
+        vlen = blk[vpos]
+        raw.append((lc, blk[pos + 2 : vpos], blk[vpos + 1 : vpos + vlen]))
+        pos = vpos + vlen
+    return raw if pos == end_limit else None
+
+
+def iter_keyfile_entries(path: str) -> Iterator[Tuple[bytes, bytes]]:
+    """Yield (key, value) for every entry of a lemur Keyfile B-tree.
+
+    Only data blocks (nonzero key count parsing cleanly as level-0 entry
+    lists) are read; keys come out in ascending order per block.
+    """
+    data = open(path, "rb").read()
+    for base in range(KEYFILE_BLOCK, len(data), KEYFILE_BLOCK):
+        blk = data[base : base + KEYFILE_BLOCK]
+        nkeys, chars = struct.unpack(">HH", blk[0:4])
+        if nkeys == 0 or chars > KEYFILE_BLOCK:
+            continue
+        prefix_lc = blk[5]
+        prefix = blk[KEYFILE_BLOCK - prefix_lc :] if prefix_lc else b""
+        # Entries fill the block tail: [end - entry_bytes, end), where the
+        # end sits just before a one-byte pad and the block-prefix chars,
+        # and chars counts entry bytes plus the prefix.
+        end_limit = KEYFILE_BLOCK - prefix_lc - 1
+        start = end_limit - (chars - prefix_lc)
+        raw = _parse_keyfile_entries(blk, start, nkeys, end_limit)
+        if raw is None:  # tolerate off-by-small layout variations
+            for delta in (-1, 1, -2, 2):
+                raw = _parse_keyfile_entries(
+                    blk, start + delta, nkeys, end_limit + max(delta, 0)
+                )
+                if raw is not None:
+                    break
+        if raw is None:
+            continue  # not a level-0 data block
+        # Entries are stored back-to-front: reverse into ascending key
+        # order, then resolve the per-entry prefix compression.
+        prev_tail = b""
+        for lc, suffix, value in reversed(raw):
+            tail = prev_tail[:lc] + suffix
+            prev_tail = tail
+            yield prefix + tail, value
+
+
+def _decode_docid_key(key: bytes) -> int:
+    """Keyfile integer keys: big-endian base-64 bytes (byte - 0x40)."""
+    val = 0
+    for b in key:
+        val = (val << 6) | (b - 0x40)
+    return val
+
+
+# ---------------------------------------------------------------------------
+# The index facade.
+# ---------------------------------------------------------------------------
+
+
+def _parse_manifest(path: str) -> Dict[str, str]:
+    """Flatten the <parameters> XML into dotted keys."""
+    import xml.etree.ElementTree as ET
+
+    out: Dict[str, str] = {}
+
+    def walk(node, prefix):
+        children = list(node)
+        if not children:
+            out[prefix] = (node.text or "").strip()
+            return
+        for child in children:
+            key = f"{prefix}.{child.tag}" if prefix else child.tag
+            walk(child, key)
+
+    walk(ET.parse(path).getroot(), "")
+    return out
+
+
+class IndriIndex:
+    """Read-only view of an Indri DiskIndex repository.
+
+    Provides the subset of the lemur API the reference's IndriSource needs
+    (data_indri.cpp:16-107): corpus statistics, document lengths, per-
+    document term lists, the vocabulary iterator, and docno lookups.
+    """
+
+    def __init__(self, repository_path: str):
+        self.path = repository_path
+        manifest = os.path.join(repository_path, "manifest")
+        if not os.path.isfile(manifest):
+            raise FileNotFoundError(f"not an Indri repository: {repository_path}")
+        repo = _parse_manifest(manifest)
+        indexes = [v for k, v in repo.items() if k.startswith("indexes.")]
+        if len(indexes) != 1:
+            raise NotImplementedError(
+                f"only single-index repositories are supported, got {indexes}"
+            )
+        self.index_dir = os.path.join(repository_path, "index", indexes[0])
+        info = _parse_manifest(os.path.join(self.index_dir, "manifest"))
+        corpus = {k.split(".", 1)[1]: v for k, v in info.items()
+                  if k.startswith("corpus.")}
+        self.document_base = int(corpus.get("document-base", 1))
+        self.maximum_document = int(corpus["maximum-document"])
+        self.document_count = int(corpus["total-documents"])
+        self.total_terms = int(corpus["total-terms"])
+        self.unique_terms = int(corpus["unique-terms"])
+        self.frequent_count = int(corpus.get("frequent-terms", 0))
+        self.stopwords = frozenset(
+            v for k, v in repo.items() if k.startswith("stopper.")
+        )
+
+        self.document_lengths = np.fromfile(
+            os.path.join(self.index_dir, "documentLengths"), dtype="<u4"
+        ).astype(np.int64)
+        self._doc_stats = np.fromfile(
+            os.path.join(self.index_dir, "documentStatistics"),
+            dtype=[("offset", "<u8"), ("byte_length", "<i4"),
+                   ("indexed_length", "<i4"), ("total_length", "<i4"),
+                   ("unique_terms", "<i4")],
+        )
+        self._direct: Optional[bytes] = None
+        self._vocab: Optional[List[TermEntry]] = None
+        self._docnos: Optional[Dict[int, str]] = None
+
+    # -- document term lists -------------------------------------------------
+
+    def document_length(self, index_doc_id: int) -> int:
+        return int(self.document_lengths[index_doc_id - self.document_base])
+
+    def term_list(self, index_doc_id: int) -> np.ndarray:
+        """Positional Indri term ids for one document (0 = stopped)."""
+        if self._direct is None:
+            self._direct = open(
+                os.path.join(self.index_dir, "directFile"), "rb"
+            ).read()
+        rec = self._doc_stats[index_doc_id - self.document_base]
+        pos = int(rec["offset"])
+        term_count, pos = rvl_decode_one(self._direct, pos)
+        _field_count, pos = rvl_decode_one(self._direct, pos)
+        blob = np.frombuffer(
+            self._direct, np.uint8, count=int(rec["byte_length"]) - (
+                pos - int(rec["offset"])
+            ), offset=pos,
+        )
+        values, starts = rvl_decode_all(blob)
+        return values[:term_count].astype(np.int32)
+
+    # -- vocabulary ----------------------------------------------------------
+
+    def vocabulary(self) -> List[TermEntry]:
+        """All terms with Indri ids and corpus-wide statistics."""
+        if self._vocab is None:
+            freq = _parse_term_entries(
+                os.path.join(self.index_dir, "frequentString"), 0
+            )
+            infreq = _parse_term_entries(
+                os.path.join(self.index_dir, "infrequentString"),
+                self.frequent_count,
+            )
+            self._vocab = freq + infreq
+        return self._vocab
+
+    # -- docno metadata --------------------------------------------------------
+
+    def docnos(self) -> Dict[int, str]:
+        """index document id -> docno (collection/forwardLookup0)."""
+        if self._docnos is None:
+            path = os.path.join(self.path, "collection", "forwardLookup0")
+            self._docnos = {
+                _decode_docid_key(k): v.decode("utf-8", "replace")
+                for k, v in iter_keyfile_entries(path)
+            }
+        return self._docnos
+
+    def docids_from_docnos(self, docnos: Sequence[str]) -> List[int]:
+        """docno -> index document id, preserving input order
+        (QueryEnvironment::documentIDsFromMetadata parity,
+        data_indri.cpp:707-711)."""
+        path = os.path.join(self.path, "collection", "reverseLookup0")
+        reverse = {
+            k.decode("utf-8", "replace"): int.from_bytes(v, "little")
+            for k, v in iter_keyfile_entries(path)
+        }
+        return [reverse[d] for d in docnos]
+
+
+# ---------------------------------------------------------------------------
+# Corpus adapter: IndriIndex -> the packed Corpus the trainer consumes.
+# ---------------------------------------------------------------------------
+
+
+def is_indri_repository(path: str) -> bool:
+    return os.path.isdir(path) and os.path.isfile(
+        os.path.join(path, "manifest")
+    ) and os.path.isdir(os.path.join(path, "index"))
+
+
+def build_corpus_from_indri(
+    repository_path: str,
+    cfg,
+    window_size: int,
+    document_list: Optional[Sequence[str]] = None,
+    term_blacklist: Optional[frozenset] = None,
+):
+    """Build a packed Corpus from an Indri repository.
+
+    Reproduces IndriSource::initialize (data_indri.cpp:620-887):
+
+    * model document ids assigned in index order (or document-list order),
+      skipping documents shorter than the window, truncated by the cutoff;
+    * vocabulary filtered by digit/blacklist/df bounds over *corpus-wide*
+      statistics, top-K by collection frequency with ids in ascending
+      (cf, Indri term id) order, frequencies recomputed over the selected
+      document subset (data_indri.cpp:592-618);
+    * per-document token streams translate Indri term ids through the
+      vocabulary (stopped/OOV positions dropped, or emitted as id 0 under
+      ``include_oov`` — generate_terms, data_indri.cpp:117-133);
+    * ``index_term_ids`` carry the *real* Indri term ids, so checkpoint
+      ``_meta`` stays interoperable with pyndri consumers.
+    """
+    from cunvsm_tpu.data.corpus import Corpus
+    from cunvsm_tpu.data.text import is_number
+    from cunvsm_tpu.data.vocab import Vocabulary
+
+    index = IndriIndex(repository_path)
+
+    # -- document selection (data_indri.cpp:652-733) --------------------------
+    if document_list is not None:
+        candidate_ids = index.docids_from_docnos(document_list)
+        num_documents = len(document_list)
+    else:
+        candidate_ids = list(
+            range(index.document_base, index.maximum_document)
+        )
+        num_documents = index.document_count
+    if cfg.documents_cutoff > 0:
+        num_documents = min(num_documents, cfg.documents_cutoff)
+
+    kept_ids: List[int] = []
+    for doc_id in candidate_ids:
+        if len(kept_ids) >= num_documents:
+            break
+        if index.document_length(doc_id) >= window_size:
+            kept_ids.append(doc_id)
+
+    docno_map = index.docnos()
+    docnos = [docno_map[d] for d in kept_ids]
+    index_lengths = np.asarray(
+        [index.document_length(d) for d in kept_ids], dtype=np.int64
+    )
+
+    # -- vocabulary (data_indri.cpp:735-869) ----------------------------------
+    max_df = cfg.max_document_frequency
+    if 0 < max_df <= 1.0:
+        max_df = int(np.ceil(index.document_count * max_df))
+    max_df = int(max_df)
+
+    candidates = []
+    for entry in index.vocabulary():
+        if not cfg.include_digits and is_number(entry.term):
+            continue
+        if term_blacklist and entry.term in term_blacklist:
+            continue
+        if (cfg.min_document_frequency > 0
+                and entry.document_count < cfg.min_document_frequency):
+            continue
+        if max_df > 0 and entry.document_count > max_df:
+            continue
+        candidates.append((entry.total_count, entry.term_id, entry.term))
+    candidates.sort()
+    if cfg.max_vocabulary_size and len(candidates) > cfg.max_vocabulary_size:
+        candidates = candidates[-cfg.max_vocabulary_size:]
+
+    # Subset recount when training on a restricted document set
+    # (data_indri.cpp:592-618): counted over raw Indri term ids.
+    subset_cf: Optional[Dict[int, int]] = None
+    if len(kept_ids) != index.document_count:
+        subset_cf = {}
+        for doc_id in kept_ids:
+            tl = index.term_list(doc_id)
+            ids, counts = np.unique(tl[tl != 0], return_counts=True)
+            for i, c in zip(ids.tolist(), counts.tolist()):
+                subset_cf[i] = subset_cf.get(i, 0) + c
+
+    terms: List[str] = []
+    index_ids: List[int] = []
+    freqs: List[int] = []
+    if cfg.include_oov:
+        terms.append("")
+        index_ids.append(0)
+        freqs.append(1)
+    for cf, tid, term in candidates:
+        if subset_cf is not None:
+            cf = subset_cf.get(tid, 0)
+            if cf == 0:
+                continue  # data_indri.cpp:843-845
+        terms.append(term)
+        index_ids.append(tid)
+        freqs.append(cf)
+
+    term_to_id = {t: i for i, t in enumerate(terms) if t}
+    vocab = Vocabulary(
+        terms=terms,
+        term_to_id=term_to_id,
+        term_freq=np.asarray(freqs, dtype=np.int64),
+        total_terms=int(sum(f for t, f in zip(terms, freqs) if t)),
+        include_oov=cfg.include_oov,
+        index_term_ids=np.asarray(index_ids, dtype=np.int64),
+    )
+
+    # -- token streams (generate_terms, data_indri.cpp:117-133) ---------------
+    indri_to_model = np.full(index.unique_terms + index.frequent_count + 1,
+                             -1, dtype=np.int64)
+    for model_id, tid in enumerate(index_ids):
+        if tid > 0:
+            indri_to_model[tid] = model_id
+
+    token_chunks: List[np.ndarray] = []
+    offsets = [0]
+    for doc_id in kept_ids:
+        tl = index.term_list(doc_id)
+        mapped = indri_to_model[tl]
+        if cfg.include_oov:
+            ids = np.where(mapped >= 0, mapped, 0)
+        else:
+            ids = mapped[mapped >= 0]
+        token_chunks.append(ids.astype(np.int32))
+        offsets.append(offsets[-1] + len(ids))
+
+    return Corpus(
+        vocab=vocab,
+        tokens=(np.concatenate(token_chunks) if token_chunks
+                else np.zeros((0,), np.int32)),
+        doc_offsets=np.asarray(offsets, dtype=np.int64),
+        index_lengths=index_lengths,
+        docnos=docnos,
+        window_size=window_size,
+    )
