@@ -40,9 +40,29 @@ def tokenize(text: str, stopwords: Optional[frozenset] = None) -> List[str]:
     return tokens
 
 
+def lemur_stopwords() -> frozenset:
+    """The vendored Lemur stoplist (418 words).
+
+    The reference pipelines index every collection with Lemur's
+    ``stoplist.dft`` (functions.sh:330-367, downloaded at index-build time);
+    the vendored copy is the stopper recorded in the checked-in Brown index
+    manifest, which Indri embeds verbatim from that same file.
+    """
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources", "lemur_stoplist.txt",
+    )
+    with open(path) as f:
+        return frozenset(w.strip() for w in f if w.strip())
+
+
 def load_stopwords(path: Optional[str]) -> Optional[frozenset]:
+    """Load a stopword file; the special value ``lemur`` resolves to the
+    vendored Lemur stoplist."""
     if not path:
         return None
+    if path == "lemur":
+        return lemur_stopwords()
     with open(path) as f:
         words = set()
         for line in f:

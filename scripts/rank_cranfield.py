@@ -12,9 +12,9 @@ lr 1e-3, lambda 1e-2, full_adam, 100 epochs; LSE = batch 4096 + tanh +
 bias_negative_samples (queried with tanh); NVSM = batch 51200 + hard_tanh +
 batch_normalization (queried --linear).
 
-Stopwords: the reference indexes with the Lemur stoplist.dft (downloaded at
-run time, functions.sh:344-350); in this zero-egress environment we default
-to sklearn's English stop list, a close substitute.
+Stopwords: the reference indexes with the Lemur stoplist.dft
+(functions.sh:344-350); the vendored copy (data/text.py:lemur_stopwords)
+is used here, matching the reference preprocessing exactly.
 
 Usage:
     python scripts/rank_cranfield.py --workdir /tmp/cranfield \
@@ -54,8 +54,6 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
-    from sklearn.feature_extraction.text import ENGLISH_STOP_WORDS
-
     from cunvsm_tpu.config import (
         AdamConfig,
         AdamMode,
@@ -66,7 +64,7 @@ def main(argv=None):
         UpdateMethod,
     )
     from cunvsm_tpu.data.corpus import build_corpus
-    from cunvsm_tpu.data.text import iter_trectext, tokenize
+    from cunvsm_tpu.data.text import iter_trectext, lemur_stopwords, tokenize
     from cunvsm_tpu.io.trec import read_qrels, read_topics, write_run
     from cunvsm_tpu.query.engine import load_query_engine
     from cunvsm_tpu.query.fusion import fuse_fixed_alpha
@@ -75,7 +73,7 @@ def main(argv=None):
     from cunvsm_tpu.train.trainer import train_model
 
     os.makedirs(args.workdir, exist_ok=True)
-    stopwords = frozenset(ENGLISH_STOP_WORDS)
+    stopwords = lemur_stopwords()
 
     window = 10
     data_cfg = DataConfig(
