@@ -144,6 +144,55 @@ def test_sharded_query_scorer_matches_dense():
     )
 
 
+def test_sharded_query_scorer_uneven_docs():
+    # Document count not divisible by the shard count: padded rows must
+    # never surface in the ranking.
+    rng = np.random.RandomState(1)
+    docs = rng.randn(61, 8).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    queries = rng.randn(3, 8).astype(np.float32)
+
+    mesh = make_mesh(1, 8)
+    scorer, _ = make_sharded_scorer(mesh, jnp.asarray(docs), top_k=61)
+    scores, idx = scorer(jnp.asarray(queries))
+    dense = queries @ docs.T
+    want_idx = np.argsort(-dense, axis=1)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+    assert int(np.asarray(idx).max()) < 61
+
+
+def test_sharded_query_no_full_score_allgather():
+    """The compiled HLO must move only per-shard candidates over the
+    collective, never the full [Q, D] score matrix (SURVEY.md §3.4)."""
+    rng = np.random.RandomState(0)
+    num_docs, dim, num_q, k = 4096, 16, 32, 10
+    docs = rng.randn(num_docs, dim).astype(np.float32)
+    queries = rng.randn(num_q, dim).astype(np.float32)
+
+    mesh = make_mesh(1, 8)
+    scorer, _ = make_sharded_scorer(mesh, jnp.asarray(docs), top_k=k)
+    compiled = scorer.lower(jnp.asarray(queries)).compile()
+    hlo = compiled.as_text()
+
+    import re
+
+    collectives = re.findall(
+        r"f32\[([\d,]+)\][^\n]*\b(all-gather|all-reduce|"
+        r"collective-permute|all-to-all)\b",
+        hlo,
+    )
+    assert collectives, "expected at least one candidate-merge collective"
+    # Per-device full score matrix would be Q x D floats; the candidate
+    # merge is Q x (shards * k).  Assert every collective output is at most
+    # the candidate volume (with generous slack for fusion padding).
+    budget = num_q * 8 * k * 4  # elements
+    for shape, op in collectives:
+        elems = int(np.prod([int(x) for x in shape.split(",")]))
+        assert elems <= budget, (op, shape, hlo[:2000])
+    # And nothing anywhere in the program materializes a replicated [Q, D].
+    assert f"f32[{num_q},{num_docs}]" not in hlo
+
+
 def test_trainer_with_mesh():
     """End-to-end mesh training through train_model: entity padding,
     sharded steps, unpadded results."""
