@@ -102,6 +102,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Multi-chip mesh as 'DATAxMODEL' (e.g. 2x4): data "
                         "parallelism x entity-table model sharding over all "
                         "visible devices.")
+    p.add_argument("--stream_dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="bfloat16 runs the gather / gradient-accumulation "
+                        "streams at half width with float32 masters (the "
+                        "fp32 fast-math release-build analog).")
     p.add_argument("--on_device_sampling", action="store_true",
                    help="Keep the packed corpus in HBM and sample batches "
                         "inside the compiled step (stochastic text-entity "
@@ -150,6 +155,7 @@ def main(argv=None) -> int:
         entity_entity_weight=args.entity_similarity_weight,
         term_term_weight=args.term_similarity_weight,
         seed=args.seed,
+        stream_dtype=args.stream_dtype,
     )
     data_cfg = DataConfig(
         corpus_path=args.corpus_path,

@@ -34,10 +34,24 @@ class QLMIndex:
     collection_prob: np.ndarray  # [vocab] cf_t / |C|
     docnos: List[str]
     term_to_id: Dict[str, int]
+    _doc_term_csc: Optional[scipy.sparse.csc_matrix] = None
 
     @property
     def avg_doc_length(self) -> float:
         return float(self.doc_lengths.mean())
+
+    @property
+    def doc_term_csc(self) -> scipy.sparse.csc_matrix:
+        """Column-major view for per-term posting access (built lazily)."""
+        if self._doc_term_csc is None:
+            self._doc_term_csc = self.doc_term.tocsc()
+        return self._doc_term_csc
+
+    def postings(self, tid: int):
+        """(doc_rows, term_frequencies) of one term — never densified."""
+        csc = self.doc_term_csc
+        lo, hi = csc.indptr[tid], csc.indptr[tid + 1]
+        return csc.indices[lo:hi], csc.data[lo:hi]
 
 
 def build_qlm_index(corpus: Corpus) -> QLMIndex:
@@ -70,21 +84,49 @@ def _score_query_vector(
     smoothing: str,
     param: float,
 ) -> np.ndarray:
-    """log-likelihood scores of every document for a weighted term vector."""
-    scores = np.zeros(len(index.docnos))
+    """log-likelihood scores of every document for a weighted term vector.
+
+    Decomposed for collection scale: a document with tf = 0 scores the
+    smoothing background, which is closed-form (constant for JM; constant
+    minus a shared log(|d| + mu) for Dirichlet), so only the *postings* of
+    each query term are touched — no [num_docs] column is ever densified
+    (the round-1 scaler's bottleneck at Robust04 scale).
+
+      JM:        correction(t, d) = log(1 + (1-l) tf / (|d| l pc_t))
+      Dirichlet: correction(t, d) = log(1 + tf / (mu pc_t))
+    """
+    num_docs = len(index.docnos)
     lengths = np.maximum(index.doc_lengths, 1.0)
-    for tid, qw in query_weights.items():
-        tf = np.asarray(index.doc_term[:, tid].todense()).ravel()
-        pc = index.collection_prob[tid]
-        if pc <= 0.0:
-            continue
-        if smoothing == "jm":
-            p = (1.0 - param) * tf / lengths + param * pc
-        elif smoothing == "dirichlet":
-            p = (tf + param * pc) / (index.doc_lengths + param)
-        else:
-            raise ValueError(f"unknown smoothing {smoothing}")
-        scores += qw * np.log(np.maximum(p, 1e-300))
+    live = {t: w for t, w in query_weights.items()
+            if index.collection_prob[t] > 0.0}
+    if not live:
+        return np.zeros(num_docs)
+
+    if smoothing == "jm":
+        base = sum(
+            w * math.log(param * index.collection_prob[t])
+            for t, w in live.items()
+        )
+        scores = np.full(num_docs, base)
+        for tid, qw in live.items():
+            rows, tf = index.postings(tid)
+            pc = index.collection_prob[tid]
+            scores[rows] += qw * np.log1p(
+                (1.0 - param) * tf / (lengths[rows] * param * pc)
+            )
+    elif smoothing == "dirichlet":
+        base = sum(
+            w * math.log(param * index.collection_prob[t])
+            for t, w in live.items()
+        )
+        total_w = sum(live.values())
+        scores = base - total_w * np.log(index.doc_lengths + param)
+        for tid, qw in live.items():
+            rows, tf = index.postings(tid)
+            pc = index.collection_prob[tid]
+            scores[rows] += qw * np.log1p(tf / (param * pc))
+    else:
+        raise ValueError(f"unknown smoothing {smoothing}")
     return scores
 
 
@@ -116,21 +158,32 @@ def tfidf_rank(
     num_docs = len(index.docnos)
     scores = np.zeros(num_docs)
     matched = np.zeros(num_docs, dtype=bool)
+    lengths = np.maximum(index.doc_lengths, 1.0)
     for tid, q_tf in qw.items():
-        col = np.asarray(index.doc_term[:, tid].todense()).ravel()
-        df = float((col > 0).sum())
+        rows, tf = index.postings(tid)
+        df = float(len(rows))
         if df == 0:
             continue
         idf = np.log(num_docs / df)
-        scores += q_tf * idf * col / np.maximum(index.doc_lengths, 1.0)
-        matched |= col > 0
+        scores[rows] += q_tf * idf * tf / lengths[rows]
+        matched[rows] = True
     scores = np.where(matched, scores, -np.inf)
-    order = np.argsort(-scores)[:top_k]
+    order = _top_k_order(scores, top_k)
     return [
         (index.docnos[int(i)], float(scores[int(i)]))
         for i in order
         if matched[int(i)]
     ]
+
+
+def _top_k_order(scores: np.ndarray, top_k: int) -> np.ndarray:
+    """Descending order of the top_k scores (argpartition, not a full
+    sort — O(N + k log k) at collection scale)."""
+    k = min(top_k, len(scores))
+    if k == len(scores):
+        return np.argsort(-scores)
+    cand = np.argpartition(-scores, k)[:k]
+    return cand[np.argsort(-scores[cand])]
 
 
 def qlm_rank(
@@ -159,7 +212,7 @@ def qlm_rank(
 
         if prf:
             # RM1 relevance model from the top fb_docs documents.
-            order = np.argsort(-scores)[:fb_docs]
+            order = _top_k_order(scores, fb_docs)
             doc_ll = scores[order]
             post = np.exp(doc_ll - doc_ll.max())
             post /= post.sum()
@@ -183,6 +236,6 @@ def qlm_rank(
                 )
             scores = _score_query_vector(index, expanded, smoothing, param)
 
-        order = np.argsort(-scores)[:top_k]
+        order = _top_k_order(scores, top_k)
         run[qid] = [(index.docnos[int(i)], float(scores[int(i)])) for i in order]
     return run

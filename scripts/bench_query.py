@@ -18,6 +18,46 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def bench_qlm(num_docs=500_000, vocab=65536, avg_len=200, queries=50, seed=0):
+    """Collection-scale QLM+PRF benchmark (Robust04-sized synthetic corpus):
+    the round-1 ranker densified a [num_docs] column per query term; the
+    postings-based scorer touches only nonzeros."""
+    import time
+
+    import scipy.sparse
+
+    from cunvsm_tpu.query.qlm import QLMIndex, qlm_rank
+
+    rng = np.random.RandomState(seed)
+    # Zipf-ish term distribution, ~avg_len distinct terms per doc.
+    nnz = num_docs * 60
+    rows = rng.randint(0, num_docs, nnz)
+    terms = (vocab * rng.power(0.25, nnz)).astype(np.int64) % vocab
+    counts = rng.randint(1, 5, nnz).astype(np.float64)
+    mat = scipy.sparse.coo_matrix(
+        (counts, (rows, terms)), shape=(num_docs, vocab)
+    ).tocsr()
+    cf = np.asarray(mat.sum(axis=0)).ravel()
+    index = QLMIndex(
+        doc_term=mat,
+        doc_lengths=np.asarray(mat.sum(axis=1)).ravel(),
+        collection_prob=cf / max(cf.sum(), 1.0),
+        docnos=[str(i) for i in range(num_docs)],
+        term_to_id={f"t{i}": i for i in range(vocab)},
+    )
+    qs = {
+        str(q): [f"t{t}" for t in rng.randint(0, vocab, 4)]
+        for q in range(queries)
+    }
+    index.doc_term_csc  # build outside the timing
+    for smoothing, prf in (("jm", False), ("jm", True), ("dirichlet", True)):
+        t0 = time.time()
+        run = qlm_rank(index, qs, smoothing=smoothing, prf=prf)
+        dt = time.time() - t0
+        print(f"qlm {smoothing} prf={prf}: {1000*dt/len(qs):.1f} ms/query "
+              f"({num_docs} docs, {len(run)} queries)")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--docs", type=int, default=262144)
@@ -25,7 +65,13 @@ def main(argv=None):
     p.add_argument("--word_dim", type=int, default=300)
     p.add_argument("--top_k", type=int, default=1000)
     p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--qlm", action="store_true",
+                   help="run the collection-scale QLM ranker benchmark (CPU)")
     args = p.parse_args(argv)
+
+    if args.qlm:
+        bench_qlm()
+        return 0
 
     import jax
     import jax.numpy as jnp

@@ -43,6 +43,11 @@ def main(argv=None):
     p.add_argument("--num_epochs", type=int, default=100)
     p.add_argument("--quick", action="store_true",
                    help="small dims / few epochs for smoke testing")
+    p.add_argument("--stream_dtype", default="float32",
+                   choices=("float32", "bfloat16"))
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--models", default="lse,nvsm",
+                   help="comma-separated subset of models to train")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu)")
     args = p.parse_args(argv)
@@ -127,9 +132,11 @@ def main(argv=None):
         learning_rate=1e-3,
         update_method=UpdateMethod.ADAM,
         adam=AdamConfig(mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
-        seed=1,
+        seed=args.seed,
+        stream_dtype=args.stream_dtype,
     )
 
+    selected = set(args.models.split(","))
     model_runs = {}
     for model_name, desc, batch_size, query_nl in [
         (
@@ -155,6 +162,8 @@ def main(argv=None):
             None,  # --linear
         ),
     ]:
+        if model_name not in selected:
+            continue
         cfg = TrainConfig(batch_size=batch_size, **base_train)
         prefix = os.path.join(args.workdir, model_name)
         logging.info("Training %s (%d epochs)...", model_name, epochs)
@@ -170,7 +179,7 @@ def main(argv=None):
         logging.info("%s MAP = %.4f", model_name, results[model_name])
 
     # --------------------------------------------------------------- fusion
-    for model_name in ("lse", "nvsm"):
+    for model_name in sorted(model_runs):
         for qlm_name in ("qlm_jm", "qlm_jm_prf", "qlm_dirichlet",
                          "qlm_dirichlet_prf"):
             fused = fuse_fixed_alpha(
