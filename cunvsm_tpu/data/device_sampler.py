@@ -8,14 +8,22 @@ packed token array can live in HBM and the *training step samples its own
 batch* inside the same compiled program.  The host sends nothing per step
 but a PRNG key.
 
-Semantics vs the reference's StochasticInstanceGenerator
-(data_indri.cpp:224-410): the reference draws a fixed
-ceil(avg_len - w + 1) samples per document per epoch and globally shuffles;
-this sampler draws documents i.i.d. uniformly per batch — identical in
-expectation (every eligible document equally likely per draw), without the
-exact per-epoch per-document count guarantee.  Weighting strategies are
-supported on device (UNIFORM -> 1; INV_DOC_FREQUENCY -> avg_len/len;
-self-information feature weights via a device table).
+Two sampling modes:
+
+* **epoch-exact** (default): reproduces the reference's
+  StochasticInstanceGenerator semantics (data_indri.cpp:224-410) — every
+  eligible document contributes exactly ceil(avg_len - w + 1) instances per
+  epoch, globally shuffled.  The per-epoch document-pointer permutation is
+  regenerated *on device* (one jitted permutation per epoch, carried across
+  multi-step calls by a cursor); window positions are uniform per draw, as
+  in the reference (data_indri.cpp:300-322 draws them fresh at each reset).
+* **i.i.d.** (``epoch_exact=False``): documents drawn uniformly per batch —
+  identical in expectation, without the per-epoch count guarantee; no
+  per-epoch permutation state.
+
+Weighting strategies are supported on device (UNIFORM -> 1;
+INV_DOC_FREQUENCY -> avg_len/len; self-information feature weights via a
+device table).
 """
 
 from __future__ import annotations
@@ -72,15 +80,45 @@ def prepare_device_corpus(
     )
 
 
-def sample_batch(
-    dc: DeviceCorpus, key: jax.Array, batch_size: int
-) -> TextEntityBatch:
-    """Sample one training batch on device (jit-compatible)."""
-    k_doc, k_pos = jax.random.split(key)
-    eligible_idx = jax.random.randint(
-        k_doc, (batch_size,), 0, dc.eligible.shape[0]
+def epoch_doc_pointers(dc: DeviceCorpus) -> jax.Array:
+    """The per-epoch instance multiset: every eligible document repeated
+    samples_per_doc = max(ceil(avg_invocab_len - w + 1), 1) times
+    (data_indri.cpp:337-344 — the count is the same for every document)."""
+    import math
+
+    lengths = np.asarray(dc.doc_lengths)[np.asarray(dc.eligible)]
+    avg = float(lengths.mean()) if len(lengths) else 0.0
+    samples_per_doc = max(int(math.ceil(avg - dc.window_size + 1)), 1)
+    return jnp.asarray(
+        np.repeat(np.asarray(dc.eligible), samples_per_doc), jnp.int32
     )
-    docs = jnp.take(dc.eligible, eligible_idx)
+
+
+def _perm_slice(doc_perm: jax.Array, cursor, batch_size: int) -> jax.Array:
+    """Next batch_size pointers from the shuffled epoch array, wrapping
+    modularly (only reachable on corpora smaller than one batch)."""
+    idx = (cursor + jnp.arange(batch_size, dtype=jnp.int32)) % doc_perm.shape[0]
+    return jnp.take(doc_perm, idx)
+
+
+def sample_batch(
+    dc: DeviceCorpus,
+    key: jax.Array,
+    batch_size: int,
+    docs: Optional[jax.Array] = None,
+) -> TextEntityBatch:
+    """Sample one training batch on device (jit-compatible).
+
+    ``docs`` overrides document selection (the epoch-exact path feeds a
+    slice of the shuffled per-epoch pointer array); positions are always
+    uniform per draw.
+    """
+    k_doc, k_pos = jax.random.split(key)
+    if docs is None:
+        eligible_idx = jax.random.randint(
+            k_doc, (batch_size,), 0, dc.eligible.shape[0]
+        )
+        docs = jnp.take(dc.eligible, eligible_idx)
     lengths = jnp.take(dc.doc_lengths, docs)
     max_pos = lengths - dc.window_size + 1
     pos = jnp.floor(
@@ -110,11 +148,14 @@ def make_device_sampled_sharded_multistep(
     params,
     opt_state,
     num_entities: Optional[int] = None,
+    epoch_exact: bool = True,
 ):
     """Mesh x on-device-sampling composition: K sharded steps per compiled
     call, each sampling its own batch from the (replicated) device corpus;
     sampled batches are sharding-constrained over the data axis so GSPMD
-    partitions the step exactly like the host-fed sharded path."""
+    partitions the step exactly like the host-fed sharded path.  With
+    ``epoch_exact`` the runner takes the replicated shuffled pointer array
+    and a cursor (see make_device_sampled_multistep)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from cunvsm_tpu.parallel.mesh import (
@@ -141,27 +182,57 @@ def make_device_sampled_sharded_multistep(
             batch,
         )
 
-    def multistep(params, opt_state, key):
-        keys = jax.random.split(key, num_steps)
+    if epoch_exact:
 
-        def body(carry, k):
-            p, o = carry
-            k_batch, k_step = jax.random.split(k)
-            batch = constrain(sample_batch(dc, k_batch, cfg.batch_size))
-            p, o, cost = step(p, o, batch, k_step)
-            return (p, o), cost
+        def multistep(params, opt_state, key, doc_perm, start):
+            keys = jax.random.split(key, num_steps)
 
-        (params, opt_state), costs = jax.lax.scan(
-            body, (params, opt_state), keys
+            def body(carry, k):
+                p, o, cursor = carry
+                k_batch, k_step = jax.random.split(k)
+                docs = _perm_slice(doc_perm, cursor, cfg.batch_size)
+                batch = constrain(
+                    sample_batch(dc, k_batch, cfg.batch_size, docs=docs)
+                )
+                p, o, cost = step(p, o, batch, k_step)
+                return (p, o, cursor + cfg.batch_size), cost
+
+            (params, opt_state, _), costs = jax.lax.scan(
+                body,
+                (params, opt_state, jnp.asarray(start, jnp.int32)),
+                keys,
+            )
+            return params, opt_state, costs
+
+        sharded = jax.jit(
+            multistep,
+            in_shardings=(p_sh, o_sh, repl, repl, repl),
+            out_shardings=(p_sh, o_sh, repl),
+            donate_argnums=(0, 1),
         )
-        return params, opt_state, costs
+    else:
 
-    sharded = jax.jit(
-        multistep,
-        in_shardings=(p_sh, o_sh, repl),
-        out_shardings=(p_sh, o_sh, repl),
-        donate_argnums=(0, 1),
-    )
+        def multistep(params, opt_state, key):
+            keys = jax.random.split(key, num_steps)
+
+            def body(carry, k):
+                p, o = carry
+                k_batch, k_step = jax.random.split(k)
+                batch = constrain(sample_batch(dc, k_batch, cfg.batch_size))
+                p, o, cost = step(p, o, batch, k_step)
+                return (p, o), cost
+
+            (params, opt_state), costs = jax.lax.scan(
+                body, (params, opt_state), keys
+            )
+            return params, opt_state, costs
+
+        sharded = jax.jit(
+            multistep,
+            in_shardings=(p_sh, o_sh, repl),
+            out_shardings=(p_sh, o_sh, repl),
+            donate_argnums=(0, 1),
+        )
     return sharded, shard_tree(params, p_sh), shard_tree(opt_state, o_sh)
 
 
@@ -171,16 +242,45 @@ def make_device_sampled_multistep(
     dc: DeviceCorpus,
     num_steps: int,
     num_entities: Optional[int] = None,
+    epoch_exact: bool = True,
 ):
     """K training steps per compiled call, each sampling its own batch from
-    the device-resident corpus.  step(params, opt_state, key) ->
-    (params, opt_state, costs[K]).  The host's only per-call work is one
-    PRNG key."""
+    the device-resident corpus.  The host's only per-call work is a PRNG
+    key (plus, in epoch-exact mode, the shuffled pointer array and cursor).
+
+    Returns the jitted runner:
+      epoch-exact: step(params, opt_state, key, doc_perm, start)
+      i.i.d.:      step(params, opt_state, key)
+    both -> (params, opt_state, costs[K]).  Pair the exact runner with
+    ``make_epoch_permuter`` — the trainer regenerates the permutation once
+    per epoch on device and advances ``start`` by K * batch_size per call.
+    """
     from cunvsm_tpu.train.step import make_train_step
 
     step = make_train_step(
         desc, cfg, jit=False, num_entities=num_entities
     )
+
+    if epoch_exact:
+
+        def multistep(params, opt_state, key, doc_perm, start):
+            keys = jax.random.split(key, num_steps)
+
+            def body(carry, inputs):
+                p, o, cursor = carry
+                k = inputs
+                k_batch, k_step = jax.random.split(k)
+                docs = _perm_slice(doc_perm, cursor, cfg.batch_size)
+                batch = sample_batch(dc, k_batch, cfg.batch_size, docs=docs)
+                p, o, cost = step(p, o, batch, k_step)
+                return (p, o, cursor + cfg.batch_size), cost
+
+            (params, opt_state, _), costs = jax.lax.scan(
+                body, (params, opt_state, jnp.asarray(start, jnp.int32)), keys
+            )
+            return params, opt_state, costs
+
+        return jax.jit(multistep, donate_argnums=(0, 1))
 
     def multistep(params, opt_state, key):
         keys = jax.random.split(key, num_steps)
@@ -198,3 +298,12 @@ def make_device_sampled_multistep(
         return params, opt_state, costs
 
     return jax.jit(multistep, donate_argnums=(0, 1))
+
+
+def make_epoch_permuter(dc: DeviceCorpus):
+    """(jitted permute_fn, pointers_per_epoch): permute_fn(key) shuffles the
+    per-epoch document-pointer array on device (the DataSource::reset
+    reshuffle, data_indri.cpp:328-398)."""
+    doc_ptrs = epoch_doc_pointers(dc)
+    permute = jax.jit(lambda k: jax.random.permutation(k, doc_ptrs))
+    return permute, int(doc_ptrs.shape[0])

@@ -259,6 +259,11 @@ def train_model(
             ),
             feature_weighting=feature_weighting,
         )
+        from cunvsm_tpu.data.device_sampler import make_epoch_permuter
+
+        # Epoch-exact sampling (StochasticInstanceGenerator parity): one
+        # on-device reshuffle of the document-pointer array per epoch.
+        epoch_permuter, _ptrs_per_epoch = make_epoch_permuter(dc)
         if mesh is not None:
             from cunvsm_tpu.data.device_sampler import (
                 make_device_sampled_sharded_multistep,
@@ -268,11 +273,12 @@ def train_model(
                 make_device_sampled_sharded_multistep(
                     desc, cfg, dc, max(steps_per_call, 1), mesh,
                     params, opt_state, num_entities=num_real_entities,
+                    epoch_exact=True,
                 )
             )
         else:
             device_run = make_device_sampled_multistep(
-                desc, cfg, dc, max(steps_per_call, 1)
+                desc, cfg, dc, max(steps_per_call, 1), epoch_exact=True
             )
 
     multistep = None
@@ -353,13 +359,23 @@ def train_model(
         epoch_start = time.time()
         batch_costs = []
         if device_run is not None:
-            # Fully on-device epochs: no host batches at all.
+            # Fully on-device epochs: no host batches at all.  The shuffled
+            # per-epoch pointer permutation is regenerated on device
+            # (DataSource::reset parity) and consumed via a cursor.
+            doc_perm = epoch_permuter(
+                jax.random.fold_in(jax.random.fold_in(key, 0x5A5A5A), epoch)
+            )
             k = max(steps_per_call, 1)
-            num_calls = max(batches_per_epoch // k, 1)
+            num_calls = max(
+                min(batches_per_epoch,
+                    _ptrs_per_epoch // cfg.batch_size) // k,
+                1,
+            )
             for call in range(num_calls):
                 step_key = jax.random.fold_in(key, total_batches)
                 params, opt_state, costs = device_run(
-                    params, opt_state, step_key
+                    params, opt_state, step_key, doc_perm,
+                    call * k * cfg.batch_size,
                 )
                 batch_costs.extend(costs[i] for i in range(k))
                 total_batches += k

@@ -93,7 +93,9 @@ class TestDeviceSampledTraining:
             jax.random.PRNGKey(0), c.vocab.size, c.num_docs, desc
         )
         opt_state = Optimizer(cfg).init(params)
-        run = make_device_sampled_multistep(desc, cfg, dc, num_steps=20)
+        run = make_device_sampled_multistep(
+            desc, cfg, dc, num_steps=20, epoch_exact=False
+        )
         params, opt_state, costs = run(
             params, opt_state, jax.random.PRNGKey(1)
         )
@@ -142,3 +144,75 @@ def test_trainer_mesh_with_on_device_sampling():
     )
     assert r.params.entity_reprs.shape[0] == c.num_docs
     assert all(np.isfinite(x) for x in r.epoch_costs)
+
+
+class TestEpochExact:
+    def test_epoch_doc_pointers_counts(self):
+        """Every eligible doc appears exactly samples_per_doc times
+        (data_indri.cpp:337-344)."""
+        import math
+
+        from cunvsm_tpu.data.device_sampler import epoch_doc_pointers
+
+        c = corpus()
+        dc = prepare_device_corpus(c)
+        ptrs = np.asarray(epoch_doc_pointers(dc))
+        eligible = np.asarray(dc.eligible)
+        lengths = np.asarray(dc.doc_lengths)[eligible]
+        s = max(int(math.ceil(lengths.mean() - dc.window_size + 1)), 1)
+        ids, counts = np.unique(ptrs, return_counts=True)
+        assert set(ids.tolist()) == set(eligible.tolist())
+        assert np.all(counts == s)
+
+    def test_epoch_exact_multistep_consumes_permutation(self):
+        """Scanned steps consume consecutive slices of the shuffled pointer
+        array: over one epoch every document is trained exactly its quota."""
+        from cunvsm_tpu.data.device_sampler import make_epoch_permuter
+
+        c = corpus()
+        dc = prepare_device_corpus(c)
+        permute, n_ptrs = make_epoch_permuter(dc)
+        perm = permute(jax.random.PRNGKey(3))
+        assert perm.shape[0] == n_ptrs
+        # The permutation is a rearrangement of the pointer multiset.
+        from cunvsm_tpu.data.device_sampler import epoch_doc_pointers
+
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(perm)),
+            np.sort(np.asarray(epoch_doc_pointers(dc))),
+        )
+
+        cfg = TrainConfig(batch_size=2, window_size=3, num_random_entities=1)
+        desc = ModelDesc(word_repr_size=4, entity_repr_size=4)
+        params = init_params(
+            jax.random.PRNGKey(0), c.vocab.size, c.num_docs, desc
+        )
+        opt_state = Optimizer(cfg).init(params)
+        steps = n_ptrs // cfg.batch_size
+        run = make_device_sampled_multistep(
+            desc, cfg, dc, steps, epoch_exact=True
+        )
+        params, opt_state, costs = run(
+            params, opt_state, jax.random.PRNGKey(1), perm, 0
+        )
+        assert costs.shape == (steps,)
+        assert np.all(np.isfinite(np.asarray(costs)))
+
+    def test_exact_labels_match_slice(self):
+        """The batch labels are exactly the cursor slice of the permutation
+        (no resampling in exact mode)."""
+        from cunvsm_tpu.data.device_sampler import make_epoch_permuter
+
+        c = corpus()
+        dc = prepare_device_corpus(c)
+        permute, n_ptrs = make_epoch_permuter(dc)
+        perm = permute(jax.random.PRNGKey(7))
+        b = 3
+        start = 2
+        docs = jax.lax.dynamic_slice(perm, (start,), (b,))
+        batch = jax.jit(
+            lambda k: sample_batch(dc, k, b, docs=docs)
+        )(jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(
+            np.asarray(batch.labels), np.asarray(perm)[start:start + b]
+        )
