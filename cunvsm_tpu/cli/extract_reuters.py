@@ -1,9 +1,15 @@
-"""cunvsm-extract-reuters: Reuters-21578 SGML -> TRECTEXT + topic classes
-(py/extract_reuters.py rebuild).
+"""cunvsm-extract-reuters: Reuters-21578 SGML -> TRECTEXT + topic classes.
 
-Parses the SGML distribution, writes a TRECTEXT file of title/dateline/body
-text per article, and a document-classification file mapping each article to
-its most specific topic among the top-K most frequent topics.
+Output contract (shared with the reference tooling, py/extract_reuters.py):
+TRECTEXT shards of title/dateline/body text per article with sequential
+numeric DOCNOs, and a document-classification file assigning each article
+its most specific (least frequent) topic among the top-K most frequent
+topics — the labels the Reuters t-SNE visualization colors by.
+
+The extraction itself is segment-based: articles are sliced out of the SGML
+stream on <REUTERS> boundaries and their fields pulled with tag-scoped
+patterns (the format is machine-generated and rigidly regular, so no
+event-driven SGML parsing is needed).
 
 Usage:
     python -m cunvsm_tpu.cli.extract_reuters *.sgm \
@@ -14,49 +20,85 @@ from __future__ import annotations
 
 import argparse
 import collections
-import html.parser
+import html
 import logging
+import re
 import sys
+from typing import Iterator, List, NamedTuple, Tuple
+
+_ARTICLE_RE = re.compile(rb"<REUTERS\b.*?</REUTERS>", re.DOTALL)
+_D_RE = re.compile(r"<D>(.*?)</D>", re.DOTALL)
 
 
-class ReutersParser(html.parser.HTMLParser):
-    """Collects per-article texts (title/dateline/body) and category tags
-    (topics/places/...) from the Reuters-21578 SGML markup."""
+class Article(NamedTuple):
+    title: str
+    dateline: str
+    body: str
+    topics: Tuple[str, ...]
 
-    TEXT_TAGS = {"title", "dateline", "body"}
-    CATEGORY_TAGS = {"topics", "places", "companies", "orgs", "exchanges"}
+    @property
+    def text(self) -> str:
+        return "\n".join((self.title, self.dateline, self.body))
 
-    def __init__(self):
-        super().__init__()
-        self.documents = []
-        self._text_tag = None
-        self._category_tag = None
 
-    def handle_starttag(self, tag, attrs):
-        if tag == "reuters":
-            self.documents.append(
-                {
-                    "doc_id": str(len(self.documents)),
-                    "texts": {},
-                    "tags": collections.defaultdict(set),
-                }
-            )
-        elif tag in self.TEXT_TAGS:
-            self._text_tag = tag
-        elif tag in self.CATEGORY_TAGS:
-            self._category_tag = tag
+def _tag_content(segment: str, tag: str) -> str:
+    lo = segment.find(f"<{tag}>")
+    if lo < 0:
+        return ""
+    hi = segment.find(f"</{tag}>", lo)
+    if hi < 0:
+        return ""
+    return html.unescape(segment[lo + len(tag) + 2 : hi])
 
-    def handle_endtag(self, tag):
-        if tag == self._text_tag:
-            self._text_tag = None
-        if tag == self._category_tag:
-            self._category_tag = None
 
-    def handle_data(self, data):
-        if self._text_tag is not None and self.documents:
-            self.documents[-1]["texts"][self._text_tag] = data
-        if self._category_tag is not None and self.documents:
-            self.documents[-1]["tags"][self._category_tag].add(data)
+def iter_articles(raw: bytes) -> Iterator[Article]:
+    """Slice one SGML file into articles."""
+    for match in _ARTICLE_RE.finditer(raw):
+        segment = match.group(0).decode("ISO-8859-1")
+        yield Article(
+            title=_tag_content(segment, "TITLE"),
+            dateline=_tag_content(segment, "DATELINE"),
+            body=_tag_content(segment, "BODY"),
+            topics=tuple(
+                html.unescape(m)
+                for m in _D_RE.findall(_tag_content(segment, "TOPICS"))
+            ),
+        )
+
+
+class ShardedTrectextWriter:
+    """Writes <prefix>_<N>.trectext shards of at most shard_size documents."""
+
+    def __init__(self, prefix: str, shard_size: int):
+        self.prefix = prefix
+        self.shard_size = shard_size
+        self.shard_idx = -1
+        self.in_shard = 0
+        self.handle = None
+        self._roll()
+
+    def _roll(self):
+        if self.handle:
+            self.handle.close()
+        self.shard_idx += 1
+        self.in_shard = 0
+        self.handle = open(
+            f"{self.prefix}_{self.shard_idx}.trectext",
+            "w", encoding="latin1", errors="replace",
+        )
+
+    def write(self, docno: str, text: str):
+        if self.in_shard >= self.shard_size:
+            self._roll()
+        self.handle.write(
+            f"<DOC>\n<DOCNO>{docno}</DOCNO>\n<TEXT>\n{text}\n</TEXT>\n</DOC>\n"
+        )
+        self.in_shard += 1
+
+    def close(self):
+        if self.handle:
+            self.handle.close()
+            self.handle = None
 
 
 def main(argv=None) -> int:
@@ -70,66 +112,32 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     logging.basicConfig(level=args.loglevel)
 
-    parser = ReutersParser()
+    articles: List[Article] = []
     for path in args.sgm:
         logging.info("Parsing %s.", path)
-        with open(path, encoding="ISO-8859-1") as f:
-            parser.feed(f.read())
-    logging.info("Parsed %d documents.", len(parser.documents))
+        with open(path, "rb") as f:
+            articles.extend(iter_articles(f.read()))
+    logging.info("Parsed %d documents.", len(articles))
 
-    topic_histogram = collections.Counter(
-        topic
-        for document in parser.documents
-        for topic in document["tags"]["topics"]
+    histogram = collections.Counter(
+        topic for article in articles for topic in article.topics
     )
-    top_topics = set(
-        sorted(topic_histogram, key=lambda t: topic_histogram[t])[
-            -args.top_k_topics :
-        ]
+    top_topics = frozenset(
+        topic for topic, _ in histogram.most_common(args.top_k_topics)
     )
     logging.info("Top topics: %s", sorted(top_topics))
 
-    shard_idx = 0
-    docs_in_shard = 0
-    f_shard = open(
-        f"{args.trectext_out_prefix}_{shard_idx}.trectext",
-        "w",
-        encoding="latin1",
-        errors="replace",
-    )
+    writer = ShardedTrectextWriter(args.trectext_out_prefix, args.shard_size)
     with open(args.document_classification_out, "w") as f_classes:
-        for document in parser.documents:
-            doc_id = document["doc_id"]
-            doc_text = "\n".join(
-                document["texts"].get(k, "")
-                for k in ("title", "dateline", "body")
-            )
-            if docs_in_shard >= args.shard_size:
-                f_shard.close()
-                shard_idx += 1
-                docs_in_shard = 0
-                f_shard = open(
-                    f"{args.trectext_out_prefix}_{shard_idx}.trectext",
-                    "w",
-                    encoding="latin1",
-                    errors="replace",
-                )
-            f_shard.write(
-                f"<DOC>\n<DOCNO>{doc_id}</DOCNO>\n<TEXT>\n{doc_text}\n"
-                "</TEXT>\n</DOC>\n"
-            )
-            docs_in_shard += 1
-
-            doc_topics = {
-                t for t in document["tags"]["topics"] if t in top_topics
-            }
-            if doc_topics:
+        for docno, article in enumerate(articles):
+            writer.write(str(docno), article.text)
+            labeled = [t for t in article.topics if t in top_topics]
+            if labeled:
                 # The most specific (= least frequent) matching topic.
-                most_specific = min(
-                    doc_topics, key=lambda t: topic_histogram[t]
+                f_classes.write(
+                    f"{docno} {min(labeled, key=histogram.__getitem__)}\n"
                 )
-                f_classes.write(f"{doc_id} {most_specific}\n")
-    f_shard.close()
+    writer.close()
     return 0
 
 

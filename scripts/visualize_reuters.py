@@ -9,8 +9,9 @@ this environment has no egress):
     python scripts/visualize_reuters.py --sgm /path/to/*.sgm \
         --workdir /tmp/reuters [--num_epochs 15]
 
-The per-epoch plots land in <workdir>/plots/epoch_<N>.png; stitch them into
-an animation with e.g. imagemagick's convert if available.
+The per-epoch plots land in <workdir>/plots/epoch_<N>.png and are stitched
+into <workdir>/training.gif (the visualize-reuters-collection.sh:150
+animation) when Pillow is available.
 """
 
 import argparse
@@ -119,7 +120,35 @@ def main(argv=None):
         epoch_callback=plot_epoch,
     )
     logging.info("Plots in %s.", plots)
+
+    gif = os.path.join(args.workdir, "training.gif")
+    if stitch_gif(sorted(glob.glob(os.path.join(plots, "epoch_*.png"))), gif):
+        logging.info("Training animation written to %s.", gif)
     return 0
+
+
+def stitch_gif(frames, out_path, duration_ms=400):
+    """Assemble per-epoch plots into an animated GIF
+    (visualize-reuters-collection.sh:150 parity, via Pillow instead of
+    imagemagick).  Returns False when Pillow or frames are missing."""
+    if not frames:
+        return False
+    try:
+        from PIL import Image
+    except ImportError:
+        logging.warning(
+            "Pillow unavailable; stitch %d frames manually "
+            "(e.g. convert -delay 40 plots/epoch_*.png training.gif).",
+            len(frames),
+        )
+        return False
+    images = [Image.open(f).convert("P", palette=Image.ADAPTIVE)
+              for f in frames]
+    images[0].save(
+        out_path, save_all=True, append_images=images[1:],
+        duration=duration_ms, loop=0,
+    )
+    return True
 
 
 if __name__ == "__main__":
