@@ -69,6 +69,10 @@ def main():
         adam=AdamConfig(mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
         learning_rate=1e-3,
         regularization_lambda=1e-2,
+        # Mixed-precision streams with float32 masters: Cranfield NVSM MAP
+        # under bfloat16 streams sits inside the float32 seed spread
+        # (PERFORMANCE.md), the fp32 fast-math release-build analog.
+        stream_dtype="bfloat16",
     )
 
     key = jax.random.PRNGKey(0)

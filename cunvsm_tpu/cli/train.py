@@ -41,8 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--document_list", default=None)
     p.add_argument("--term_blacklist", default=None)
     p.add_argument("--stopwords", default=None,
-                   help="Stopword list applied at tokenization "
-                        "(the role IndriBuildIndex's stoplist plays).")
+                   help="Stopword list applied at tokenization (the role "
+                        "IndriBuildIndex's stoplist plays); the special "
+                        "value 'lemur' selects the vendored Lemur "
+                        "stoplist.dft the reference pipelines index with.")
 
     p.add_argument("--word_repr_size", type=int, default=4)
     p.add_argument("--entity_repr_size", type=int, default=4)

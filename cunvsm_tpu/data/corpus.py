@@ -40,6 +40,9 @@ class Corpus:
     index_lengths: np.ndarray  # int64 [num_docs]
     docnos: List[str]  # model doc id -> external document identifier
     window_size: int
+    # model doc id -> external index (Indri) document id; equals the model
+    # id when the corpus wasn't built from an index (data_indri.cpp:557-571).
+    index_doc_ids: Optional[np.ndarray] = None
 
     @property
     def num_docs(self) -> int:
@@ -69,6 +72,11 @@ class Corpus:
             term_freq=self.vocab.term_freq,
             index_term_ids=self.vocab.index_term_ids,
             total_terms=np.asarray(self.vocab.total_terms),
+            index_doc_ids=(
+                self.index_doc_ids
+                if self.index_doc_ids is not None
+                else np.arange(len(self.docnos), dtype=np.int64)
+            ),
             include_oov=np.asarray(int(self.vocab.include_oov)),
             window_size=np.asarray(self.window_size),
         )
@@ -102,6 +110,9 @@ class Corpus:
             index_lengths=data["index_lengths"],
             docnos=docnos,
             window_size=int(data["window_size"]),
+            index_doc_ids=(
+                data["index_doc_ids"] if "index_doc_ids" in data else None
+            ),
         )
 
 

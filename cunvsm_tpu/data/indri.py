@@ -500,4 +500,5 @@ def build_corpus_from_indri(
         index_lengths=index_lengths,
         docnos=docnos,
         window_size=window_size,
+        index_doc_ids=np.asarray(kept_ids, dtype=np.int64),
     )

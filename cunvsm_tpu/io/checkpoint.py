@@ -86,10 +86,12 @@ def build_metadata(
     num_objects: int,
     total_terms: int,
     include_oov: bool,
+    index_object_ids: Optional[Sequence[int]] = None,
 ) -> "nvsm_pb2.Metadata":
     """Assemble the lse.Metadata proto (data_indri.cpp:534-555 semantics:
-    one TermInfo per model term, one ObjectInfo per model object; when no
-    external index exists, index_object_id == model_object_id)."""
+    one TermInfo per model term, one ObjectInfo per model object;
+    ``index_object_ids`` carries the external (Indri) document ids — when
+    no external index exists, index_object_id == model_object_id)."""
     meta = nvsm_pb2.Metadata()
     for model_id, (iid, freq) in enumerate(
         zip(index_term_ids, term_frequencies)
@@ -104,7 +106,11 @@ def build_metadata(
         info.term_frequency = int(freq)
     for model_id in range(num_objects):
         obj = meta.object.add()
-        obj.index_object_id = int(model_id)
+        obj.index_object_id = int(
+            index_object_ids[model_id]
+            if index_object_ids is not None
+            else model_id
+        )
         obj.model_object_id = int(model_id)
     meta.total_terms = int(total_terms)
     return meta

@@ -228,6 +228,7 @@ def train_model(
             corpus.num_docs,
             corpus.vocab.total_terms,
             corpus.vocab.include_oov,
+            index_object_ids=corpus.index_doc_ids,
         )
         ckpt.save_meta(meta, output_prefix)
         ckpt.save_corpus_sidecars(corpus, output_prefix)

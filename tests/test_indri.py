@@ -203,3 +203,25 @@ def test_training_smoke_on_brown():
     jb = TextEntityBatch(*[jnp.asarray(x) for x in batch])
     params, _, cost = step(params, opt.init(params), jb, jax.random.PRNGKey(1))
     assert np.isfinite(float(cost))
+
+
+def test_metadata_carries_indri_document_ids():
+    # ObjectInfo.index_object_id must be the real Indri document id
+    # (data_indri.cpp:557-571), not the model id.
+    from cunvsm_tpu.io.checkpoint import build_metadata
+
+    document_list = ["cj36", "cg62"]
+    corpus = build_corpus_from_indri(
+        BROWN, _cfg(), 3, document_list=document_list
+    )
+    meta = build_metadata(
+        corpus.vocab.index_term_ids,
+        corpus.vocab.term_freq,
+        corpus.num_docs,
+        corpus.vocab.total_terms,
+        corpus.vocab.include_oov,
+        index_object_ids=corpus.index_doc_ids,
+    )
+    assert [(o.model_object_id, o.index_object_id) for o in meta.object] == [
+        (0, 330), (1, 251),
+    ]
