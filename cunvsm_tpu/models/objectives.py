@@ -352,52 +352,69 @@ def _cost_and_grads_factored(
     phrase_pre, entity_pre, params, batch, entity_ids, nce_w, desc,
     batch_size_normalizer, window,
 ):
-    """Rank-1 entity-gradient variant: differentiate w.r.t. an additive
-    dots offset to obtain the per-(instance, slot) multipliers, keeping the
-    entity gathers out of the differentiated graph."""
-    k_plus_1 = entity_ids.shape[1]
-    signs = jnp.concatenate(
-        [jnp.ones((1,)), -jnp.ones((k_plus_1 - 1,))]
-    ).astype(entity_pre.dtype)
-    eps_f = desc.sigmoid_eps_forward if desc.clip_sigmoid else 0.0
-    eps_b = desc.sigmoid_eps_backward if desc.clip_sigmoid else 0.0
+    """Rank-1 entity-gradient variant with explicitly staged VJPs.
 
+    The entity gathers stay out of every differentiated graph, and the two
+    large einsums over ``entity_pre`` (the NCE dots and their transpose)
+    are written out by hand with both operands at the stream dtype — under
+    mixed precision, autodiff's transpose would otherwise promote the
+    bfloat16 entity stream to a materialized float32 copy, re-spending the
+    bandwidth the stream dtype saves.  Gradient math:
+
+      d cost / d proj[b]        = sum_k g_dots_raw[b, k] * entity_pre[b, k]
+      d ascent / d entity[b, k] = -g_dots_raw[b, k] * proj[b]   (rank-1)
+
+    where g_dots_raw is the cotangent of the *pre-sign* dot products
+    (equal to multiplier * sign, objective.cu:354-403).
+    """
+    k_plus_1 = entity_ids.shape[1]
     acc_dtype = (
         jnp.float32
         if entity_pre.dtype == jnp.bfloat16
         else entity_pre.dtype
     )
+    signs = jnp.concatenate(
+        [jnp.ones((1,)), -jnp.ones((k_plus_1 - 1,))]
+    ).astype(acc_dtype)
+    eps_f = desc.sigmoid_eps_forward if desc.clip_sigmoid else 0.0
+    eps_b = desc.sigmoid_eps_backward if desc.clip_sigmoid else 0.0
 
-    def loss_fn(phrase_pre_, w_, b_, dots_offset):
+    def project(phrase_pre_, w_, b_):
         phrase = phrase_pre_
         if desc.l2_normalize_phrase_reprs:
             phrase = l2_normalize_rows(phrase)
-        projections = apply_transform(
+        return apply_transform(
             phrase, w_, b_, desc, desc.batch_normalization
         )
-        # Match the entity stream dtype so the NCE dot reads both operands
-        # at stream width and accumulates in float32 on the MXU.
-        dots = (
-            jnp.einsum(
-                "bd,bkd->bk",
-                projections.astype(entity_pre.dtype),
-                entity_pre,
-                preferred_element_type=acc_dtype,
-            )
-            * signs[None, :].astype(acc_dtype)
-            + dots_offset
-        )
+
+    projections, project_vjp = jax.vjp(
+        project, phrase_pre, params.transform_w, params.transform_b
+    )
+
+    # NCE dots: both operands at stream width, float32 MXU accumulation.
+    proj_s = projections.astype(entity_pre.dtype)
+    dots_raw = jnp.einsum(
+        "bd,bkd->bk", proj_s, entity_pre, preferred_element_type=acc_dtype
+    )
+
+    def tail(dots_raw_):
+        dots = dots_raw_ * signs[None, :]
         log_probs = log_truncated_sigmoid(dots, eps_f, eps_b)
         cost = -jnp.sum(nce_w * log_probs) / batch_size_normalizer
-        return cost, (truncated_sigmoid(dots, eps_f), projections)
+        return cost, truncated_sigmoid(dots, eps_f)
 
-    dots_offset = jnp.zeros(entity_ids.shape, acc_dtype)
-    (cost, (similarity_probs, projections)), grads = jax.value_and_grad(
-        loss_fn, argnums=(0, 1, 2, 3), has_aux=True
-    )(phrase_pre, params.transform_w, params.transform_b, dots_offset)
-    g_phrase, g_w, g_b, g_dots = grads
+    (cost, tail_vjp, similarity_probs) = jax.vjp(tail, dots_raw, has_aux=True)
+    (g_dots_raw,) = tail_vjp(jnp.ones((), cost.dtype))
 
-    # d ascent / d entity_pre[i, j] = (-g_dots[i, j]) * signs[j] * proj[i].
+    # Transposed dot, again with both operands at stream width.
+    g_projections = jnp.einsum(
+        "bk,bkd->bd",
+        g_dots_raw.astype(entity_pre.dtype),
+        entity_pre,
+        preferred_element_type=acc_dtype,
+    ).astype(projections.dtype)
+    g_phrase, g_w, g_b = project_vjp(g_projections)
+
     ascent = AscentGrads(
         word=(
             SparseGrad(
@@ -410,7 +427,7 @@ def _cost_and_grads_factored(
             SparseGrad(
                 grad=projections,
                 indices=entity_ids,
-                weights=-g_dots * signs[None, :],
+                weights=-g_dots_raw,
             ),
         ),
         transform_w=-g_w,

@@ -46,8 +46,6 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
-    from sklearn.feature_extraction.text import ENGLISH_STOP_WORDS
-
     from cunvsm_tpu.config import (
         AdamConfig,
         AdamMode,
@@ -67,10 +65,12 @@ def main(argv=None):
     from cunvsm_tpu.train.trainer import train_model
 
     os.makedirs(args.workdir, exist_ok=True)
+    from cunvsm_tpu.data.text import lemur_stopwords
+
     stopwords = (
         load_stopwords(args.stopwords)
         if args.stopwords
-        else frozenset(ENGLISH_STOP_WORDS)
+        else lemur_stopwords()
     )
 
     def read_ids(path):
