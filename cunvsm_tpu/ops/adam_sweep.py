@@ -124,6 +124,7 @@ def fused_adam_dense_sweep(
         and on_tpu
         and lam_static
         and table.dtype == jnp.float32
+        and scattered.dtype == table.dtype
         and m.shape == table.shape
         and v.shape == table.shape
     ):

@@ -116,6 +116,7 @@ def _sorted_segment_accumulate(
     num_rows: int,
     descs: Tuple[SparseGrad, ...],
     stream_dtype=None,
+    accum_dtype=None,
 ) -> jax.Array:
     """Dense accumulation of sparse descriptors: S[v] = sum over (i, w) with
     indices[i, w] == v of weights[i, w] * grad[i].
@@ -155,20 +156,22 @@ def _sorted_segment_accumulate(
     ptr = jnp.concatenate(ptr_parts) if len(descs) > 1 else ptr_parts[0]
     wts = jnp.concatenate(w_parts) if len(descs) > 1 else w_parts[0]
 
-    out_dtype = grads.dtype
+    out_dtype = accum_dtype or grads.dtype
     if stream_dtype is not None and jnp.dtype(stream_dtype) != grads.dtype:
-        # Mixed-precision stream: the permuted gather and the materialized
-        # [updates, dim] stream move half the bytes; the segment reduction
-        # below still accumulates at full width (the up-convert fuses into
-        # the scatter's update computation).
+        # Mixed-precision stream: the permuted gather moves half the bytes.
+        # NOTE (HLO-verified on v5e): when the accumulator stays float32,
+        # the up-convert does NOT fuse into the scatter — XLA materializes
+        # a full-width update stream first.  accum_dtype="bfloat16" keeps
+        # the scatter itself at stream width (the consumer up-converts),
+        # at the cost of half-precision partial sums.
         grads = grads.astype(stream_dtype)
         wts = wts.astype(stream_dtype)
 
     # One fused multi-operand sort is cheaper on TPU than argsort + takes.
     idx_s, ptr_s, wts_s = jax.lax.sort((idx, ptr, wts), num_keys=1)
-    upd_s = jnp.take(grads, ptr_s, axis=0) * wts_s[:, None].astype(
-        grads.dtype
-    )
+    upd_s = jnp.take(grads, ptr_s, axis=0, mode="clip") * wts_s[
+        :, None
+    ].astype(grads.dtype)
     if upd_s.dtype != out_dtype:
         upd_s = upd_s.astype(out_dtype)
     from cunvsm_tpu.ops.segment_kernels import sorted_segment_sum
@@ -308,7 +311,8 @@ def _repr_adam_dense_update(state, table, descs, lr, lam, beta1, beta2, eps):
 
 
 def _repr_adam_full(
-    state, table, descs, lr, lam, beta1, beta2, eps, stream_dtype=None
+    state, table, descs, lr, lam, beta1, beta2, eps, stream_dtype=None,
+    accum_dtype=None,
 ):
     # DENSE_UPDATE_DENSE_VARIANCE mode (updates_adam.cu:203-213,253-282,
     # 312-328): dense m and v with L2 folded into the moments.  The m update
@@ -319,7 +323,7 @@ def _repr_adam_full(
     from cunvsm_tpu.ops.adam_sweep import fused_adam_dense_sweep
 
     scattered = _sorted_segment_accumulate(
-        table.shape[0], tuple(descs), stream_dtype
+        table.shape[0], tuple(descs), stream_dtype, accum_dtype
     )
     bc = _adam_bias_correction(beta1, beta2, state.t, table.dtype)
     m, v, table = fused_adam_dense_sweep(
@@ -457,7 +461,9 @@ class Optimizer:
             state, table = _repr_adam_dense_update(*args)
         elif mode == AdamMode.DENSE_UPDATE_DENSE_VARIANCE:
             state, table = _repr_adam_full(
-                *args, stream_dtype=cfg.resolved_stream_dtype()
+                *args,
+                stream_dtype=cfg.resolved_stream_dtype(),
+                accum_dtype=cfg.resolved_accum_dtype(),
             )
         else:
             raise ValueError(f"unknown adam mode {mode}")

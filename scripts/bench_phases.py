@@ -64,8 +64,7 @@ def build(stream_dtype):
             key, batch.labels, NUM_ENTITIES, cfg.num_random_entities
         )
         cost, _, grads = obj.text_entity_cost_and_grads(
-            params, batch, ids, desc,
-            factored_entity_grads=True, stream_dtype=sd,
+            params, batch, ids, desc, factored_entity_grads=True,
         )
         return cost, grads
 
