@@ -182,6 +182,129 @@ def chunk_aligned_segment_sum(
     return out[:num_rows]
 
 
+def _scratch_kernel(
+    chunk_tile_ref,  # [K] int32 (scalar prefetch): tile id of each chunk
+    first_flag_ref,  # [K] int32: 1 iff chunk is its tile's first
+    last_flag_ref,  # [K] int32: 1 iff chunk is its tile's last
+    rows_ref,  # [C, 1] int32 block: padded sorted row ids
+    upd_ref,  # [C, d] block: padded sorted updates (any dtype)
+    out_ref,  # [T*R, d] f32 in ANY/HBM (written via explicit DMA)
+    acc_ref,  # scratch VMEM [R, d] f32 accumulator
+    sem,  # DMA semaphore
+    *,
+    tile_rows: int,
+):
+    k = pl.program_id(0)
+    tile = chunk_tile_ref[k]
+    chunk, _ = rows_ref.shape
+
+    def tile_copy(t):
+        return pltpu.make_async_copy(
+            acc_ref,
+            out_ref.at[pl.ds(t * tile_rows, tile_rows), :],
+            sem,
+        )
+
+    @pl.when(jnp.logical_and(first_flag_ref[k] == 1, k > 0))
+    def _():
+        # The previous tile's copy-out must land before the scratch is
+        # reused (sub-microsecond for a VMEM->HBM tile; chunks are longer).
+        tile_copy(chunk_tile_ref[k - 1]).wait()
+
+    @pl.when(first_flag_ref[k] == 1)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    local = rows_ref[:, 0] - tile * tile_rows  # [C]
+    # Padding rows carry an id outside every tile -> all-zero one-hot column.
+    onehot = (
+        local[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_rows), 1)
+    ).astype(upd_ref.dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        onehot,
+        upd_ref[...],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(last_flag_ref[k] == 1)
+    def _():
+        tile_copy(tile).start()
+
+    @pl.when(k == pl.num_programs(0) - 1)
+    def _():
+        tile_copy(tile).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_rows", "tile_rows", "chunk", "interpret"),
+)
+def scratch_segment_sum(
+    upd_sorted: jax.Array,  # [U, d], sorted by row (any float dtype)
+    rows_sorted: jax.Array,  # [U] int32 ascending
+    num_rows: int,
+    tile_rows: int = 512,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """f32 S[r] = sum of upd_sorted rows with rows_sorted == r.
+
+    Variant of ``chunk_aligned_segment_sum`` that accumulates each row
+    tile in a float32 VMEM scratch and copies it out with an explicit DMA
+    when the tile's last chunk retires.  This keeps the accumulator
+    resident without relying on Mosaic's output-block revisit detection
+    (defeated by scalar-prefetch output index maps on this toolchain,
+    see the module docstring), keeps the matmul operands auto-pipelined
+    input blocks (the DMA-scratch-operand miscompile does not apply), and
+    accumulates bf16 update streams exactly in float32 — the XLA scatter
+    path must otherwise materialize a full-width converted stream.
+    """
+    U, d = upd_sorted.shape
+    T = pl.cdiv(num_rows, tile_rows)
+    num_rows_pad = T * tile_rows
+    if U == 0:
+        return jnp.zeros((num_rows, d), jnp.float32)
+
+    rows_i32 = rows_sorted.astype(jnp.int32)
+    src, valid, chunk_tile, first_flag = _chunk_align(
+        rows_i32, num_rows_pad, tile_rows, chunk
+    )
+    src_c = jnp.where(valid, src, 0)
+    rows_pad = jnp.where(
+        valid, jnp.take(rows_i32, src_c), num_rows_pad
+    ).reshape(-1, 1)
+    upd_pad = jnp.take(upd_sorted, src_c, axis=0) * valid[:, None].astype(
+        upd_sorted.dtype
+    )
+    last_flag = jnp.concatenate(
+        [first_flag[1:], jnp.ones((1,), jnp.int32)]
+    )
+
+    K = chunk_tile.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((chunk, 1), lambda k, ct, ff, lf: (k, 0)),
+            pl.BlockSpec((chunk, d), lambda k, ct, ff, lf: (k, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((tile_rows, d), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_scratch_kernel, tile_rows=tile_rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_rows_pad, d), jnp.float32),
+        interpret=interpret,
+    )(chunk_tile, first_flag, last_flag, rows_pad, upd_pad)
+    return out[:num_rows]
+
+
 # Backwards-compatible alias used by tests.
 def sorted_segment_sum_pallas(
     upd_sorted, rows_sorted, num_rows, tile_rows=256, chunk=512,

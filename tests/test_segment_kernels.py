@@ -88,3 +88,49 @@ def test_entirely_empty_tiles_are_zero():
         got, reference(upd, rows, num_rows), rtol=1e-5, atol=1e-5
     )
     assert np.all(got[128:] == 0.0)
+
+
+class TestScratchSegmentSum:
+    """The scratch-accumulator variant (f32 VMEM accumulation + explicit
+    copy-out) must match a float64 reference under every skew."""
+
+    @pytest.mark.parametrize(
+        "num_updates,num_rows,dim,skew",
+        [(5000, 1024, 300, 1.0), (3000, 700, 128, 0.2),
+         (100, 2048, 64, 3.0), (7000, 64, 8, 0.05), (0, 128, 16, 1.0)],
+    )
+    def test_matches_reference(self, num_updates, num_rows, dim, skew):
+        from cunvsm_tpu.ops.segment_kernels import scratch_segment_sum
+
+        rng = np.random.RandomState(3)
+        rows = np.sort(
+            (num_rows * rng.power(max(skew, 0.01), num_updates)).astype(
+                np.int32
+            ) % num_rows
+        )
+        upd = rng.randn(num_updates, dim).astype(np.float32)
+        got = np.asarray(scratch_segment_sum(
+            jnp.asarray(upd), jnp.asarray(rows), num_rows,
+            tile_rows=256, chunk=128, interpret=True,
+        ))
+        want = np.zeros((num_rows, dim), np.float64)
+        np.add.at(want, rows, upd.astype(np.float64))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+    def test_bf16_updates_accumulate_in_f32(self):
+        from cunvsm_tpu.ops.segment_kernels import scratch_segment_sum
+
+        rng = np.random.RandomState(4)
+        rows = np.sort(rng.randint(0, 50, 20000).astype(np.int32))
+        upd = jnp.asarray(rng.randn(20000, 32).astype(np.float32),
+                          jnp.bfloat16)
+        got = np.asarray(scratch_segment_sum(
+            upd, jnp.asarray(rows), 50, tile_rows=64, chunk=256,
+            interpret=True,
+        ))
+        assert got.dtype == np.float32
+        # f32 accumulation of the bf16 inputs: compare against the f64 sum
+        # of the *rounded* inputs — bf16 accumulation would be ~100x worse.
+        want = np.zeros((50, 32), np.float64)
+        np.add.at(want, rows, np.asarray(upd, np.float64))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-4)
