@@ -21,13 +21,24 @@ auto-pipelined dense work:
   static bound (U/C + T), so Zipf-skewed rows cost only their own updates
   plus at most one padded chunk per tile.
 
-Design note: an earlier variant used manual double-buffered DMA with a
-while-loop per tile; this environment's Mosaic build miscompiles matmuls
-whose operands derive from DMA'd scratch (bisect: int32-scratch-fed one-hot
-LHS crashes the compiler), so everything stays in auto-pipelined blocks.
+Design notes / measured dead ends on this toolchain (PERFORMANCE.md):
 
-The public ``sorted_segment_sum`` entry point dispatches to the kernel on
-TPU and to ``jax.ops.segment_sum`` elsewhere.
+* a manual double-buffered DMA variant miscompiles (Mosaic crashes on
+  matmuls whose operands derive from DMA'd scratch);
+* ``chunk_aligned_segment_sum`` (auto-pipelined, output-block revisiting)
+  is defeated by its scalar-prefetch-dependent output index map — Mosaic
+  flushes the accumulator tile every chunk;
+* ``scratch_segment_sum`` (float32 VMEM scratch accumulator + explicit
+  copy-out DMA, transposed one-hot so the MXU contraction needs no
+  transpose) is correct but measured 60-106 ms vs XLA's 4-8 ms at the
+  real shapes — per-chunk overhead with prefetch-dependent input maps
+  dominates.  It remains valuable where exact f32 accumulation of bf16
+  streams matters (the XLA path materializes a converted full-width
+  stream).
+
+The public ``sorted_segment_sum`` entry point therefore dispatches to
+``jax.ops.segment_sum`` (XLA's sorted-scatter path) by default; the Pallas
+kernels are opt-in via CUNVSM_PALLAS_SEGMENT=1.
 """
 
 from __future__ import annotations
@@ -216,15 +227,18 @@ def _scratch_kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     local = rows_ref[:, 0] - tile * tile_rows  # [C]
-    # Padding rows carry an id outside every tile -> all-zero one-hot column.
-    onehot = (
-        local[:, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (chunk, tile_rows), 1)
+    # Padding rows carry an id outside every tile -> all-zero one-hot row.
+    # Built directly in [R, C] orientation so the MXU contraction is a
+    # plain [R, C] x [C, d] matmul (a [C, R] one-hot with a dim-0
+    # contraction costs Mosaic an explicit transpose per chunk).
+    onehot_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_rows, chunk), 0)
+        == local[None, :]
     ).astype(upd_ref.dtype)
     acc_ref[...] += jax.lax.dot_general(
-        onehot,
+        onehot_t,
         upd_ref[...],
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -267,6 +281,11 @@ def scratch_segment_sum(
     if U == 0:
         return jnp.zeros((num_rows, d), jnp.float32)
 
+    # The explicit copy-out slices along the lane dimension, which Mosaic
+    # requires 128-aligned; pad the feature dimension for the kernel and
+    # strip it afterwards.
+    d_pad = ((d + 127) // 128) * 128
+
     rows_i32 = rows_sorted.astype(jnp.int32)
     src, valid, chunk_tile, first_flag = _chunk_align(
         rows_i32, num_rows_pad, tile_rows, chunk
@@ -278,6 +297,8 @@ def scratch_segment_sum(
     upd_pad = jnp.take(upd_sorted, src_c, axis=0) * valid[:, None].astype(
         upd_sorted.dtype
     )
+    if d_pad != d:
+        upd_pad = jnp.pad(upd_pad, ((0, 0), (0, d_pad - d)))
     last_flag = jnp.concatenate(
         [first_flag[1:], jnp.ones((1,), jnp.int32)]
     )
@@ -288,21 +309,21 @@ def scratch_segment_sum(
         grid=(K,),
         in_specs=[
             pl.BlockSpec((chunk, 1), lambda k, ct, ff, lf: (k, 0)),
-            pl.BlockSpec((chunk, d), lambda k, ct, ff, lf: (k, 0)),
+            pl.BlockSpec((chunk, d_pad), lambda k, ct, ff, lf: (k, 0)),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((tile_rows, d), jnp.float32),
+            pltpu.VMEM((tile_rows, d_pad), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
         functools.partial(_scratch_kernel, tile_rows=tile_rows),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_rows_pad, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_rows_pad, d_pad), jnp.float32),
         interpret=interpret,
     )(chunk_tile, first_flag, last_flag, rows_pad, upd_pad)
-    return out[:num_rows]
+    return out[:num_rows, :d]
 
 
 # Backwards-compatible alias used by tests.
