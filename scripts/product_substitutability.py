@@ -52,7 +52,6 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
-    from sklearn.feature_extraction.text import ENGLISH_STOP_WORDS
 
     from cunvsm_tpu.config import (
         AdamConfig,
@@ -72,7 +71,9 @@ def main(argv=None):
     from cunvsm_tpu.train.trainer import train_model
 
     os.makedirs(args.workdir, exist_ok=True)
-    stopwords = frozenset(ENGLISH_STOP_WORDS)
+    from cunvsm_tpu.data.text import lemur_stopwords
+
+    stopwords = lemur_stopwords()
     # The corpus must be stopword-filtered like the queries (the reference
     # indexes with a stoplist, functions.sh:344-350); load_corpus takes a
     # file path.
