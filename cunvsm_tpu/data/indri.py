@@ -286,29 +286,62 @@ class IndriIndex:
         self._direct: Optional[bytes] = None
         self._vocab: Optional[List[TermEntry]] = None
         self._docnos: Optional[Dict[int, str]] = None
+        self._decoded: Optional[Tuple[np.ndarray, np.ndarray]] = None
 
     # -- document term lists -------------------------------------------------
 
     def document_length(self, index_doc_id: int) -> int:
         return int(self.document_lengths[index_doc_id - self.document_base])
 
+    def _decode_direct(self) -> Tuple[np.ndarray, np.ndarray]:
+        """One vectorized RVL decode of the whole direct file.
+
+        Returns (values, value_start_offsets) over the entire file; per-
+        document slices are located through the documentStatistics offsets
+        via searchsorted — this is what makes collection-scale ingestion a
+        handful of numpy passes instead of per-document Python loops.
+        """
+        if self._decoded is None:
+            if self._direct is None:
+                self._direct = open(
+                    os.path.join(self.index_dir, "directFile"), "rb"
+                ).read()
+            buf = np.frombuffer(self._direct, np.uint8)
+            # Records are separated by raw (non-RVL) length prefixes; keep
+            # only in-record bytes and remap the record offsets into the
+            # compacted stream so one vectorized decode covers everything.
+            offsets = self._doc_stats["offset"].astype(np.int64)
+            lengths = self._doc_stats["byte_length"].astype(np.int64)
+            delta = np.zeros(len(buf) + 1, np.int8)
+            np.add.at(delta, offsets, 1)
+            np.add.at(delta, offsets + lengths, -1)
+            mask = np.cumsum(delta[:-1]) > 0
+            kept_before = np.concatenate(
+                ([0], np.cumsum(mask, dtype=np.int64))
+            )
+            values, starts = rvl_decode_all(buf[mask])
+            self._compact_offsets = kept_before[offsets]
+            self._decoded = (values, starts)
+        return self._decoded
+
     def term_list(self, index_doc_id: int) -> np.ndarray:
         """Positional Indri term ids for one document (0 = stopped)."""
-        if self._direct is None:
-            self._direct = open(
-                os.path.join(self.index_dir, "directFile"), "rb"
-            ).read()
-        rec = self._doc_stats[index_doc_id - self.document_base]
-        pos = int(rec["offset"])
-        term_count, pos = rvl_decode_one(self._direct, pos)
-        _field_count, pos = rvl_decode_one(self._direct, pos)
-        blob = np.frombuffer(
-            self._direct, np.uint8, count=int(rec["byte_length"]) - (
-                pos - int(rec["offset"])
-            ), offset=pos,
-        )
-        values, starts = rvl_decode_all(blob)
-        return values[:term_count].astype(np.int32)
+        values, starts = self._decode_direct()
+        offset = self._compact_offsets[index_doc_id - self.document_base]
+        first = int(np.searchsorted(starts, int(offset)))
+        term_count = int(values[first])
+        # Layout: termCount, fieldCount, then the positional term ids.
+        return values[first + 2 : first + 2 + term_count].astype(np.int32)
+
+    def all_term_lists(self) -> List[np.ndarray]:
+        """Term lists of every document, in internal document-id order."""
+        values, starts = self._decode_direct()
+        firsts = np.searchsorted(starts, self._compact_offsets)
+        counts = values[firsts]
+        return [
+            values[f + 2 : f + 2 + c].astype(np.int32)
+            for f, c in zip(firsts.tolist(), counts.tolist())
+        ]
 
     # -- vocabulary ----------------------------------------------------------
 
