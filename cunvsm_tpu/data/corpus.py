@@ -203,6 +203,13 @@ def load_corpus(
     )
 
     if is_indri_repository(cfg.corpus_path):
+        if use_native:
+            from cunvsm_tpu.data import native
+
+            if native.available():
+                return native.build_corpus_native_indri(
+                    cfg.corpus_path, cfg, window_size
+                )
         document_list = None
         if cfg.document_list:
             with open(cfg.document_list) as f:

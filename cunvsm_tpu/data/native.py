@@ -43,6 +43,18 @@ def load_library() -> Optional[ctypes.CDLL]:
                 ctypes.c_int, ctypes.c_long, ctypes.c_long, ctypes.c_double,
                 ctypes.c_int, ctypes.c_int, ctypes.c_long,
             ]
+            lib.indri_build.restype = ctypes.c_void_p
+            lib.indri_build.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_int, ctypes.c_long, ctypes.c_long, ctypes.c_double,
+                ctypes.c_int, ctypes.c_int, ctypes.c_long,
+            ]
+            lib.corpus_num_index_doc_ids.restype = ctypes.c_long
+            lib.corpus_num_index_doc_ids.argtypes = [ctypes.c_void_p]
+            lib.corpus_copy_index_doc_ids.restype = None
+            lib.corpus_copy_index_doc_ids.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p
+            ]
             lib.corpus_error.restype = ctypes.c_char_p
             lib.corpus_error.argtypes = [ctypes.c_void_p]
             for name in (
@@ -76,29 +88,7 @@ def available() -> bool:
     return load_library() is not None
 
 
-def build_corpus_native(
-    trectext_path: str,
-    cfg: DataConfig,
-    window_size: int,
-    stopword_path: Optional[str] = None,
-) -> Corpus:
-    lib = load_library()
-    if lib is None:
-        raise RuntimeError(
-            "native library not built; run `make -C native`"
-        )
-    handle = lib.corpus_build(
-        trectext_path.encode(),
-        (stopword_path or "").encode(),
-        (cfg.term_blacklist or "").encode(),
-        window_size,
-        cfg.max_vocabulary_size,
-        cfg.min_document_frequency,
-        float(cfg.max_document_frequency),
-        int(cfg.include_oov),
-        int(cfg.include_digits),
-        cfg.documents_cutoff,
-    )
+def _corpus_from_handle(lib, handle, cfg, window_size) -> Corpus:
     try:
         err = lib.corpus_error(handle).decode()
         if err:
@@ -120,6 +110,10 @@ def build_corpus_native(
         if vocab_size:
             lib.corpus_copy_term_freq(handle, term_freq.ctypes.data)
             lib.corpus_copy_index_term_ids(handle, index_term_ids.ctypes.data)
+        index_doc_ids = None
+        if lib.corpus_num_index_doc_ids(handle) == num_docs and num_docs:
+            index_doc_ids = np.empty(num_docs, dtype=np.int64)
+            lib.corpus_copy_index_doc_ids(handle, index_doc_ids.ctypes.data)
 
         vb = ctypes.create_string_buffer(lib.corpus_vocab_bytes(handle))
         lib.corpus_copy_vocab(handle, vb)
@@ -143,6 +137,57 @@ def build_corpus_native(
             index_lengths=index_lengths,
             docnos=docnos,
             window_size=window_size,
+            index_doc_ids=index_doc_ids,
         )
     finally:
         lib.corpus_free(handle)
+
+
+def build_corpus_native_indri(
+    repository_path: str,
+    cfg: DataConfig,
+    window_size: int,
+) -> Corpus:
+    """Packed corpus from an Indri DiskIndex repository (native/indri.cpp)."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library not built; run `make -C native`")
+    handle = lib.indri_build(
+        repository_path.encode(),
+        (cfg.document_list or "").encode(),
+        (cfg.term_blacklist or "").encode(),
+        window_size,
+        cfg.max_vocabulary_size,
+        cfg.min_document_frequency,
+        float(cfg.max_document_frequency),
+        int(cfg.include_oov),
+        int(cfg.include_digits),
+        cfg.documents_cutoff,
+    )
+    return _corpus_from_handle(lib, handle, cfg, window_size)
+
+
+def build_corpus_native(
+    trectext_path: str,
+    cfg: DataConfig,
+    window_size: int,
+    stopword_path: Optional[str] = None,
+) -> Corpus:
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError(
+            "native library not built; run `make -C native`"
+        )
+    handle = lib.corpus_build(
+        trectext_path.encode(),
+        (stopword_path or "").encode(),
+        (cfg.term_blacklist or "").encode(),
+        window_size,
+        cfg.max_vocabulary_size,
+        cfg.min_document_frequency,
+        float(cfg.max_document_frequency),
+        int(cfg.include_oov),
+        int(cfg.include_digits),
+        cfg.documents_cutoff,
+    )
+    return _corpus_from_handle(lib, handle, cfg, window_size)

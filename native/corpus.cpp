@@ -19,6 +19,8 @@
 //
 // Exposed as a C API consumed through ctypes (cunvsm_tpu/data/native.py).
 
+#include "corpus.h"
+
 #include <algorithm>
 #include <cctype>
 #include <cmath>
@@ -39,18 +41,6 @@ struct TermStats {
     int64_t cf = 0;
     int64_t df = 0;
     int64_t last_doc = -1;
-};
-
-struct Corpus {
-    std::vector<int32_t> tokens;
-    std::vector<int64_t> offsets;        // num_docs + 1
-    std::vector<int64_t> index_lengths;  // tokenized length pre-vocab-filter
-    std::vector<std::string> docnos;
-    std::vector<std::string> vocab_terms;  // model id -> term ('' for OOV)
-    std::vector<int64_t> term_freq;
-    std::vector<int64_t> index_term_ids;
-    int64_t total_terms = 0;
-    std::string error;
 };
 
 bool is_number(const std::string& term) {
@@ -315,6 +305,13 @@ void corpus_copy_term_freq(void* h, int64_t* out) {
 }
 void corpus_copy_index_term_ids(void* h, int64_t* out) {
     auto& v = static_cast<Corpus*>(h)->index_term_ids;
+    std::memcpy(out, v.data(), v.size() * sizeof(int64_t));
+}
+long corpus_num_index_doc_ids(void* h) {
+    return static_cast<long>(static_cast<Corpus*>(h)->index_doc_ids.size());
+}
+void corpus_copy_index_doc_ids(void* h, int64_t* out) {
+    auto& v = static_cast<Corpus*>(h)->index_doc_ids;
     std::memcpy(out, v.data(), v.size() * sizeof(int64_t));
 }
 

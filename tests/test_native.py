@@ -117,3 +117,67 @@ def test_native_cranfield_if_available():
     assert nat.docnos == py.docnos
     assert nat.vocab.terms == py.vocab.terms
     np.testing.assert_array_equal(nat.tokens, py.tokens)
+
+
+BROWN = "/root/reference/test_data/Brown_index"
+
+
+@pytest.mark.skipif(
+    not native.available() or not os.path.isdir(BROWN),
+    reason="native library or Brown index unavailable",
+)
+class TestNativeIndri:
+    """native/indri.cpp vs the Python Indri reader (the semantic oracle)."""
+
+    @pytest.mark.parametrize(
+        "kwargs",
+        [
+            dict(max_vocabulary_size=0, min_document_frequency=0,
+                 max_document_frequency=0),
+            dict(max_vocabulary_size=2000, min_document_frequency=2,
+                 max_document_frequency=0.5),
+            dict(max_vocabulary_size=500, min_document_frequency=0,
+                 max_document_frequency=100, include_oov=True),
+            dict(max_vocabulary_size=0, min_document_frequency=0,
+                 max_document_frequency=0, documents_cutoff=37),
+        ],
+    )
+    def test_differential(self, kwargs):
+        from cunvsm_tpu.data.indri import build_corpus_from_indri
+
+        cfg = DataConfig(corpus_path=BROWN, **kwargs)
+        want = build_corpus_from_indri(BROWN, cfg, 16)
+        got = native.build_corpus_native_indri(BROWN, cfg, 16)
+
+        assert got.docnos == want.docnos
+        assert got.vocab.terms == want.vocab.terms
+        np.testing.assert_array_equal(got.vocab.term_freq,
+                                      want.vocab.term_freq)
+        np.testing.assert_array_equal(got.vocab.index_term_ids,
+                                      want.vocab.index_term_ids)
+        assert got.vocab.total_terms == want.vocab.total_terms
+        np.testing.assert_array_equal(got.tokens, want.tokens)
+        np.testing.assert_array_equal(got.doc_offsets, want.doc_offsets)
+        np.testing.assert_array_equal(got.index_lengths, want.index_lengths)
+        np.testing.assert_array_equal(got.index_doc_ids, want.index_doc_ids)
+
+    def test_document_list(self, tmp_path):
+        from cunvsm_tpu.data.indri import build_corpus_from_indri
+
+        doclist = tmp_path / "docs.txt"
+        doclist.write_text("cj36\nck17\ncn04\ncg62\ncm02\n")
+        cfg = DataConfig(
+            corpus_path=BROWN, max_vocabulary_size=0,
+            min_document_frequency=0, max_document_frequency=0,
+            document_list=str(doclist),
+        )
+        want = build_corpus_from_indri(
+            BROWN, cfg, 3,
+            document_list=["cj36", "ck17", "cn04", "cg62", "cm02"],
+        )
+        got = native.build_corpus_native_indri(BROWN, cfg, 3)
+        assert got.docnos == want.docnos
+        np.testing.assert_array_equal(got.index_doc_ids, want.index_doc_ids)
+        np.testing.assert_array_equal(got.tokens, want.tokens)
+        np.testing.assert_array_equal(got.vocab.term_freq,
+                                      want.vocab.term_freq)
