@@ -117,12 +117,12 @@ def gather_phrase_reprs(
     acc_dtype = (
         jnp.float32 if gathered.dtype == jnp.bfloat16 else gathered.dtype
     )
-    return jnp.einsum(
-        "bw,bwd->bd",
-        feature_weights.astype(gathered.dtype),
-        gathered,
-        preferred_element_type=acc_dtype,
-    ) / window
+    # Written as multiply + dtype-widening sum (not einsum with
+    # preferred_element_type): XLA otherwise converts the whole gathered
+    # bf16 stream to a materialized f32 copy before its mul-reduce fusion
+    # (HLO-verified on v5e); the elementwise convert fuses this way.
+    weighted = gathered * feature_weights.astype(gathered.dtype)[:, :, None]
+    return jnp.sum(weighted, axis=1, dtype=acc_dtype) / window
 
 
 def apply_transform(
@@ -399,10 +399,13 @@ def _cost_and_grads_factored(
         project, phrase_pre, params.transform_w, params.transform_b
     )
 
-    # NCE dots: both operands at stream width, float32 MXU accumulation.
+    # NCE dots: both operands at stream width; multiply + dtype-widening
+    # sum rather than einsum-with-preferred-type so the f32 convert fuses
+    # into the reduction instead of materializing an f32 copy of the
+    # gathered entity stream (HLO-verified on v5e).
     proj_s = projections.astype(entity_pre.dtype)
-    dots_raw = jnp.einsum(
-        "bd,bkd->bk", proj_s, entity_pre, preferred_element_type=acc_dtype
+    dots_raw = jnp.sum(
+        proj_s[:, None, :] * entity_pre, axis=-1, dtype=acc_dtype
     )
 
     def tail(dots_raw_):
@@ -414,12 +417,12 @@ def _cost_and_grads_factored(
     (cost, tail_vjp, similarity_probs) = jax.vjp(tail, dots_raw, has_aux=True)
     (g_dots_raw,) = tail_vjp(jnp.ones((), cost.dtype))
 
-    # Transposed dot, again with both operands at stream width.
-    g_projections = jnp.einsum(
-        "bk,bkd->bd",
-        g_dots_raw.astype(entity_pre.dtype),
-        entity_pre,
-        preferred_element_type=acc_dtype,
+    # Transposed dot, again with both operands at stream width and the
+    # widening convert fused into the reduction.
+    g_projections = jnp.sum(
+        g_dots_raw.astype(entity_pre.dtype)[:, :, None] * entity_pre,
+        axis=1,
+        dtype=acc_dtype,
     ).astype(projections.dtype)
     g_phrase, g_w, g_b = project_vjp(g_projections)
 
