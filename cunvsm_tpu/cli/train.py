@@ -109,6 +109,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 runs the gather / gradient-accumulation "
                         "streams at half width with float32 masters (the "
                         "fp32 fast-math release-build analog).")
+    p.add_argument("--accum_dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="Accumulator width of the full_adam dense segment "
+                        "accumulation (bfloat16 keeps the scatter at "
+                        "stream width; see TrainConfig.accum_dtype).")
     p.add_argument("--on_device_sampling", action="store_true",
                    help="Keep the packed corpus in HBM and sample batches "
                         "inside the compiled step (stochastic text-entity "
@@ -158,6 +163,7 @@ def main(argv=None) -> int:
         term_term_weight=args.term_similarity_weight,
         seed=args.seed,
         stream_dtype=args.stream_dtype,
+        accum_dtype=args.accum_dtype,
     )
     data_cfg = DataConfig(
         corpus_path=args.corpus_path,
