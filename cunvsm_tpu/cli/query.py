@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "functions.sh:269-271)")
     p.add_argument("--self_information", action="store_true", default=False)
     p.add_argument("--l2norm_phrase", action="store_true", default=False)
+    p.add_argument("--mesh", default=None,
+                   help="Shard the document matrix for serving, as "
+                        "'DATAxMODEL' (e.g. 1x8) over all visible devices; "
+                        "ranking uses per-shard top-k + candidate merge "
+                        "(parallel/query.py).")
     p.add_argument("--score_dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="Document-matrix dtype for scoring; bfloat16 halves "
@@ -61,6 +66,13 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
+    mesh = None
+    if args.mesh:
+        from cunvsm_tpu.parallel.mesh import make_mesh
+
+        data_ax, model_ax = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(data_ax, model_ax)
+
     engine = load_query_engine(
         args.model,
         args.epoch,
@@ -71,6 +83,7 @@ def main(argv=None) -> int:
         score_dtype=(
             jnp.bfloat16 if args.score_dtype == "bfloat16" else None
         ),
+        mesh=mesh,
     )
     logging.info(
         "Loaded model: %d terms, %d documents.",

@@ -32,6 +32,18 @@ import numpy as np
 from cunvsm_tpu.models.params import ModelParams
 
 
+def _project_queries(
+    query_reprs, transform_w, transform_b_scaled, nonlinearity
+):
+    projected = jnp.dot(
+        query_reprs, transform_w, preferred_element_type=jnp.float32
+    ) + transform_b_scaled[None, :]
+    if nonlinearity == "tanh":
+        projected = jnp.tanh(projected)
+    norms = jnp.linalg.norm(projected, axis=1, keepdims=True)
+    return projected / jnp.maximum(norms, 1e-30)
+
+
 @partial(jax.jit, static_argnames=("top_k", "nonlinearity"))
 def _rank_kernel(
     query_reprs: jax.Array,  # [Q, d_w]
@@ -41,13 +53,9 @@ def _rank_kernel(
     top_k: int,
     nonlinearity: Optional[str],
 ):
-    projected = jnp.dot(
-        query_reprs, transform_w, preferred_element_type=jnp.float32
-    ) + transform_b_scaled[None, :]
-    if nonlinearity == "tanh":
-        projected = jnp.tanh(projected)
-    norms = jnp.linalg.norm(projected, axis=1, keepdims=True)
-    projected = projected / jnp.maximum(norms, 1e-30)
+    projected = _project_queries(
+        query_reprs, transform_w, transform_b_scaled, nonlinearity
+    )
     scores = jnp.dot(
         projected.astype(entity_norm.dtype),
         entity_norm.T,
@@ -69,11 +77,17 @@ class QueryEngine:
         self_information: bool = False,
         l2norm_phrase: bool = False,
         score_dtype=None,
+        mesh=None,
     ):
         """``score_dtype=jnp.bfloat16`` stores the normalized document
         matrix in bf16, halving the per-query HBM traffic of the scoring
         matmul (serving is bandwidth-bound; measured 1.05 -> 0.81 ms for
-        top-1000 over 262k docs on v5e).  Scores accumulate in f32."""
+        top-1000 over 262k docs on v5e).  Scores accumulate in f32.
+
+        ``mesh``: a jax Mesh with a "model" axis shards the normalized
+        document matrix row-wise for collection-scale serving; ranking
+        then runs the explicit per-shard top-k + candidate merge
+        (parallel/query.py)."""
         self.params = params
         self.term_to_id: Dict[str, int] = {
             t: i for i, t in enumerate(terms) if t
@@ -101,6 +115,8 @@ class QueryEngine:
                 (0, params.entity_reprs.shape[1]), params.entity_reprs.dtype
             )
         )
+        self.mesh = mesh
+        self._sharded_scorers: Dict[int, Callable] = {}
 
     # -- query-side forward -------------------------------------------------
 
@@ -153,14 +169,17 @@ class QueryEngine:
             return {}
         k = min(top_k, len(self.docnos))
         q = jnp.asarray(np.stack(reprs), dtype=self.params.word_reprs.dtype)
-        scores, indices = _rank_kernel(
-            q,
-            self.params.transform_w,
-            self._bias_scaled,
-            self._entity_norm,
-            k,
-            self.nonlinearity,
-        )
+        if self.mesh is not None:
+            scores, indices = self._rank_sharded(q, k)
+        else:
+            scores, indices = _rank_kernel(
+                q,
+                self.params.transform_w,
+                self._bias_scaled,
+                self._entity_norm,
+                k,
+                self.nonlinearity,
+            )
         scores = np.asarray(scores)
         indices = np.asarray(indices)
         return {
@@ -170,6 +189,24 @@ class QueryEngine:
             ]
             for i, qid in enumerate(qids)
         }
+
+    def _rank_sharded(self, q: jax.Array, k: int):
+        """Project on one device, score + merge over the sharded matrix."""
+        from cunvsm_tpu.parallel.query import make_sharded_scorer
+
+        if k not in self._sharded_scorers:
+            scorer, sharded = make_sharded_scorer(
+                self.mesh, self._entity_norm, k
+            )
+            # Keep one sharded copy; later k values rebuild only the jit.
+            self._entity_norm = sharded
+            self._sharded_scorers[k] = scorer
+        projected = _project_queries(
+            q, self.params.transform_w, self._bias_scaled, self.nonlinearity
+        )
+        return self._sharded_scorers[k](
+            projected.astype(self._entity_norm.dtype)
+        )
 
     def score_documents(
         self, query_terms: Sequence[str], docnos: Sequence[str]

@@ -248,3 +248,37 @@ def test_trainer_with_mesh_and_multistep():
     result = train_model(desc, cfg, corpus, mesh=mesh, steps_per_call=3)
     assert result.params.entity_reprs.shape[0] == corpus.num_docs
     assert all(np.isfinite(c) for c in result.epoch_costs)
+
+
+def test_query_engine_with_mesh_matches_dense():
+    """QueryEngine(mesh=...) serves through the sharded per-shard top-k
+    path and must rank identically to the single-device engine."""
+    from cunvsm_tpu.models.params import ModelParams
+    from cunvsm_tpu.query.engine import QueryEngine
+
+    rng = np.random.RandomState(5)
+    num_words, num_docs, d_w, d_e = 40, 64, 8, 8
+    params = ModelParams(
+        word_reprs=jnp.asarray(rng.randn(num_words, d_w), jnp.float32),
+        entity_reprs=jnp.asarray(rng.randn(num_docs, d_e), jnp.float32),
+        transform_w=jnp.asarray(rng.randn(d_w, d_e), jnp.float32),
+        transform_b=jnp.asarray(rng.randn(d_e), jnp.float32),
+    )
+    terms = [f"t{i}" for i in range(num_words)]
+    docnos = [f"d{i}" for i in range(num_docs)]
+    queries = {str(q): [f"t{t}" for t in rng.randint(0, num_words, 3)]
+               for q in range(5)}
+
+    dense = QueryEngine(params, terms, docnos, nonlinearity=None)
+    sharded = QueryEngine(
+        params, terms, docnos, nonlinearity=None, mesh=make_mesh(1, 8)
+    )
+    run_a = dense.rank(queries, top_k=10)
+    run_b = sharded.rank(queries, top_k=10)
+    assert run_a.keys() == run_b.keys()
+    for qid in run_a:
+        assert [d for d, _ in run_a[qid]] == [d for d, _ in run_b[qid]]
+        np.testing.assert_allclose(
+            [s for _, s in run_a[qid]], [s for _, s in run_b[qid]],
+            rtol=1e-5,
+        )
