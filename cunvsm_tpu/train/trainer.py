@@ -398,7 +398,8 @@ def train_model(
             if output_prefix:
                 ckpt.save_model_hdf5(unpad(params), output_prefix, epoch)
                 ckpt.save_training_state(
-                    output_prefix, params, opt_state, epoch
+                    output_prefix, params, opt_state, epoch,
+                    extra={"total_batches": np.asarray(total_batches)},
                 )
             if epoch_callback:
                 epoch_callback(epoch, unpad(params), epoch_cost)

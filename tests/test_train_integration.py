@@ -170,3 +170,42 @@ def test_resume_equals_uninterrupted(tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
         )
+
+
+def test_resume_equals_uninterrupted_on_device_sampling(tmp_path):
+    """Resume determinism on the epoch-exact on-device path: the per-epoch
+    permutation key derives from the epoch index and the per-step keys from
+    the step counter, so 2+2 epochs must equal an uninterrupted 4."""
+    docs, _ = synthetic_corpus(num_docs_per_topic=3, doc_len=20)
+    corpus = build_corpus(
+        docs,
+        DataConfig(max_vocabulary_size=0, min_document_frequency=0,
+                   max_document_frequency=0),
+        window_size=4,
+    )
+    desc = ModelDesc(word_repr_size=8, entity_repr_size=6)
+
+    def cfg(n):
+        return TrainConfig(
+            num_epochs=n, batch_size=8, window_size=4,
+            num_random_entities=2, learning_rate=0.01, seed=3,
+        )
+
+    straight = train_model(
+        desc, cfg(4), corpus, on_device_sampling=True, steps_per_call=2
+    )
+
+    prefix = str(tmp_path / "m")
+    train_model(
+        desc, cfg(2), corpus, output_prefix=prefix,
+        on_device_sampling=True, steps_per_call=2,
+    )
+    resumed = train_model(
+        desc, cfg(4), corpus, output_prefix=prefix, resume=True,
+        on_device_sampling=True, steps_per_call=2,
+    )
+
+    for a, b in zip(straight.params, resumed.params):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        )
