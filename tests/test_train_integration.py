@@ -243,3 +243,44 @@ def test_resume_equals_uninterrupted_on_mesh(tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
         )
+
+
+def test_resume_equals_uninterrupted_composite(tmp_path):
+    """Resume determinism with a Mix 'n Match similarity stream: the
+    repeating similarity source must fast-forward past the consumed
+    batches so 2+2 epochs equals 4 straight."""
+    docs, _ = synthetic_corpus(num_docs_per_topic=3, doc_len=20)
+    corpus = build_corpus(
+        docs,
+        DataConfig(max_vocabulary_size=0, min_document_frequency=0,
+                   max_document_frequency=0),
+        window_size=4,
+    )
+    desc = ModelDesc(word_repr_size=8, entity_repr_size=6)
+    rng = np.random.RandomState(9)
+    pairs = rng.randint(0, corpus.num_docs, (10, 2)).astype(np.int32)
+    weights = np.ones(10, np.float32)
+
+    def cfg(n):
+        return TrainConfig(
+            num_epochs=n, batch_size=8, window_size=4,
+            num_random_entities=2, learning_rate=0.01, seed=3,
+            text_entity_weight=0.7, entity_entity_weight=0.3,
+        )
+
+    def sim():
+        return SimilaritySource(pairs, weights, batch_size=8,
+                                drop_remainder=False)
+
+    straight = train_model(desc, cfg(4), corpus, similarity_source=sim())
+
+    prefix = str(tmp_path / "m")
+    train_model(desc, cfg(2), corpus, output_prefix=prefix,
+                similarity_source=sim())
+    resumed = train_model(desc, cfg(4), corpus, output_prefix=prefix,
+                          resume=True, similarity_source=sim())
+
+    for a, b in zip(straight.params, resumed.params):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        )
