@@ -123,6 +123,17 @@ class TrainConfig:
     # disables all casts (tests run float64 through the same path).
     stream_dtype: str = "float32"
 
+    # Static promise that every batch's feature_weights are all ones (the
+    # UNIFORM feature-weighting strategy, the reference's default and the
+    # canonical NVSM/LSE configuration, functions.sh:369-400).  When set,
+    # the objective skips the weight multiply in the window average and the
+    # word-gradient scatter descriptor drops its weights operand, which
+    # unlocks a single-operand packed sort in the gradient accumulation
+    # (optim/updates.py).  The trainer sets this automatically from the
+    # feature-weighting strategy; it must never be combined with
+    # self-information weights.
+    uniform_feature_weights: bool = False
+
     # Accumulator dtype for the full_adam dense segment accumulation.
     # "bfloat16" keeps the sorted scatter itself at stream width — the
     # float32 up-convert otherwise materializes a full-width update stream

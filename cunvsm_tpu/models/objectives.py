@@ -98,13 +98,16 @@ def sample_negative_entities(
 
 
 def gather_phrase_reprs(
-    word_reprs: jax.Array, features: jax.Array, feature_weights: jax.Array
+    word_reprs: jax.Array,
+    features: jax.Array,
+    feature_weights: Optional[jax.Array],
 ) -> jax.Array:
     """Windowed weighted average of word representations.
 
     out[i] = (1/window) * sum_w feature_weights[i, w] * word_reprs[features[i, w]]
     (average_repr_kernel, params.cu:77-95; note division by window, not by the
-    weight sum).
+    weight sum).  ``feature_weights=None`` means statically-uniform weights
+    (all ones) and skips the multiply.
 
     When ``word_reprs`` is bfloat16 (mixed-precision streams) the gather and
     multiply run at half traffic while the window reduction accumulates in
@@ -121,8 +124,9 @@ def gather_phrase_reprs(
     # preferred_element_type): XLA otherwise converts the whole gathered
     # bf16 stream to a materialized f32 copy before its mul-reduce fusion
     # (HLO-verified on v5e); the elementwise convert fuses this way.
-    weighted = gathered * feature_weights.astype(gathered.dtype)[:, :, None]
-    return jnp.sum(weighted, axis=1, dtype=acc_dtype) / window
+    if feature_weights is not None:
+        gathered = gathered * feature_weights.astype(gathered.dtype)[:, :, None]
+    return jnp.sum(gathered, axis=1, dtype=acc_dtype) / window
 
 
 def apply_transform(
@@ -268,6 +272,7 @@ def text_entity_cost_and_grads(
     batch_size_normalizer: jax.Array | float | None = None,
     factored_entity_grads: bool = False,
     stream_dtype=None,
+    uniform_feature_weights: bool = False,
 ):
     """Cost + ascent gradients in the reference's sparse-descriptor form.
 
@@ -284,11 +289,18 @@ def text_entity_cost_and_grads(
     [B, K+1, d] gradient.  Exact for accumulate-only optimizer paths (SGD,
     full_adam); the window-averaged statistics of sparse Adagrad/Adam and
     the entity L2-normalizer need the expanded layout.
+    ``uniform_feature_weights`` statically promises batch.feature_weights
+    are all ones (TrainConfig.uniform_feature_weights): the window average
+    skips its multiply and the word descriptor carries ``weights=None``,
+    enabling the packed single-operand accumulation sort.
     """
     if batch_size_normalizer is None:
         batch_size_normalizer = batch.features.shape[0]
     window = batch.features.shape[1]
     num_negative = entity_ids.shape[1] - 1
+    feature_weights = (
+        None if uniform_feature_weights else batch.feature_weights
+    )
 
     use_factored = factored_entity_grads and not desc.l2_normalize_entity_reprs
 
@@ -309,7 +321,7 @@ def text_entity_cost_and_grads(
         entity_table = entity_table.astype(stream_dtype)
 
     phrase_pre = gather_phrase_reprs(
-        word_table, batch.features, batch.feature_weights
+        word_table, batch.features, feature_weights
     )
     entity_pre = jnp.take(entity_table, entity_ids, axis=0, mode="clip")
     nce_w = nce_instance_weights(batch.weights, num_negative, desc)
@@ -317,7 +329,7 @@ def text_entity_cost_and_grads(
     if use_factored:
         return _cost_and_grads_factored(
             phrase_pre, entity_pre, params, batch, entity_ids, nce_w, desc,
-            batch_size_normalizer, window,
+            batch_size_normalizer, window, feature_weights,
         )
 
     inter = TextEntityIntermediates(
@@ -340,7 +352,7 @@ def text_entity_cost_and_grads(
             SparseGrad(
                 grad=-g_inter.phrase_pre / window,
                 indices=batch.features,
-                weights=batch.feature_weights,
+                weights=feature_weights,
             ),
         ),
         entity=(
@@ -358,7 +370,7 @@ def text_entity_cost_and_grads(
 
 def _cost_and_grads_factored(
     phrase_pre, entity_pre, params, batch, entity_ids, nce_w, desc,
-    batch_size_normalizer, window,
+    batch_size_normalizer, window, feature_weights,
 ):
     """Rank-1 entity-gradient variant with explicitly staged VJPs.
 
@@ -431,7 +443,7 @@ def _cost_and_grads_factored(
             SparseGrad(
                 grad=-g_phrase / window,
                 indices=batch.features,
-                weights=batch.feature_weights,
+                weights=feature_weights,
             ),
         ),
         entity=(

@@ -125,12 +125,89 @@ def _sorted_segment_accumulate(
     which is several times faster on TPU than the unsorted scatter the
     reference's atomicAdd semantics would naively map to.  Duplicate indices
     still accumulate exactly.
+
+    The sort itself is emitter-bound on TPU (~n log n passes over every
+    operand), so the layouts minimize operand count:
+
+    * weight-free single descriptor with row ids and instance ids that both
+      fit 16 bits (the canonical word table: vocab 65536, batch 51200 under
+      uniform feature weighting) — ONE packed uint32 operand
+      ``(row_id << 16) | instance_id``; unpacking is two cheap vector ops.
+    * weight-free otherwise — two operands (row_id, instance_id).
+    * weighted single descriptor — by default three operands
+      (row_id, instance_id, weight); ``CUNVSM_ACCUM_VARIANT=twoop`` sorts
+      (row_id, flat_position) and re-derives the instance id arithmetically
+      + the weight through a post-sort element gather (measured on v5e —
+      see PERFORMANCE.md — before choosing the default).
+
+    The per-instance gradient rows are gathered *after* the sort: the
+    gradient array ([instances, dim]) is window-times smaller than the
+    materialized update matrix, so the random access happens on a much
+    smaller working set.
     """
-    # Sort lightweight (row_id, instance_id, weight) triples first, then
-    # gather the per-instance gradient rows in sorted order — the gradient
-    # array ([instances, dim]) is typically window-times smaller than the
-    # materialized update matrix, so the random access happens on a much
-    # smaller working set.
+    import os
+
+    from cunvsm_tpu.ops.segment_kernels import sorted_segment_sum
+
+    variant = os.environ.get("CUNVSM_ACCUM_VARIANT", "auto")
+
+    def _finish(grads, idx_s, ptr_s, wts_s):
+        out_dtype = accum_dtype or grads.dtype
+        if (
+            stream_dtype is not None
+            and jnp.dtype(stream_dtype) != grads.dtype
+        ):
+            # Mixed-precision stream: the permuted gather moves half the
+            # bytes.  NOTE (HLO-verified on v5e): when the accumulator stays
+            # float32, the up-convert does NOT fuse into the scatter — XLA
+            # materializes a full-width update stream first.
+            # accum_dtype="bfloat16" keeps the scatter itself at stream
+            # width (the consumer up-converts), at the cost of
+            # half-precision partial sums.
+            grads = grads.astype(stream_dtype)
+        upd_s = jnp.take(grads, ptr_s, axis=0, mode="clip")
+        if wts_s is not None:
+            upd_s = upd_s * wts_s[:, None].astype(grads.dtype)
+        if upd_s.dtype != out_dtype:
+            upd_s = upd_s.astype(out_dtype)
+        return sorted_segment_sum(upd_s, idx_s, num_rows)
+
+    if len(descs) == 1:
+        d = descs[0]
+        n_inst, window = d.indices.shape
+        idx = d.indices.reshape(-1)
+        if d.weights is None:
+            if n_inst <= (1 << 16) and num_rows <= (1 << 16):
+                # Packed single-operand sort.  Row id in the high bits keeps
+                # the ordering; unsigned compare keeps ids >= 2^15 in order.
+                ptr = jnp.arange(
+                    n_inst * window, dtype=jnp.uint32
+                ) // jnp.uint32(window)
+                key = (idx.astype(jnp.uint32) << 16) | ptr
+                (key_s,) = jax.lax.sort((key,), num_keys=1)
+                idx_s = jax.lax.shift_right_logical(
+                    key_s, jnp.uint32(16)
+                ).astype(jnp.int32)
+                ptr_s = (key_s & jnp.uint32(0xFFFF)).astype(jnp.int32)
+                return _finish(d.grad, idx_s, ptr_s, None)
+            ptr = jnp.repeat(
+                jnp.arange(n_inst, dtype=jnp.int32), window
+            )
+            idx_s, ptr_s = jax.lax.sort((idx, ptr), num_keys=1)
+            return _finish(d.grad, idx_s, ptr_s, None)
+        if variant == "twoop":
+            pos = jnp.arange(n_inst * window, dtype=jnp.int32)
+            idx_s, pos_s = jax.lax.sort((idx, pos), num_keys=1)
+            ptr_s = pos_s // window
+            wts = d.weights.reshape(-1)
+            if (
+                stream_dtype is not None
+                and jnp.dtype(stream_dtype) != wts.dtype
+            ):
+                wts = wts.astype(stream_dtype)
+            wts_s = jnp.take(wts, pos_s, mode="clip")
+            return _finish(d.grad, idx_s, ptr_s, wts_s)
+
     idx_parts = []
     ptr_parts = []
     w_parts = []
@@ -155,28 +232,12 @@ def _sorted_segment_accumulate(
     idx = jnp.concatenate(idx_parts) if len(descs) > 1 else idx_parts[0]
     ptr = jnp.concatenate(ptr_parts) if len(descs) > 1 else ptr_parts[0]
     wts = jnp.concatenate(w_parts) if len(descs) > 1 else w_parts[0]
-
-    out_dtype = accum_dtype or grads.dtype
-    if stream_dtype is not None and jnp.dtype(stream_dtype) != grads.dtype:
-        # Mixed-precision stream: the permuted gather moves half the bytes.
-        # NOTE (HLO-verified on v5e): when the accumulator stays float32,
-        # the up-convert does NOT fuse into the scatter — XLA materializes
-        # a full-width update stream first.  accum_dtype="bfloat16" keeps
-        # the scatter itself at stream width (the consumer up-converts),
-        # at the cost of half-precision partial sums.
-        grads = grads.astype(stream_dtype)
+    if stream_dtype is not None and jnp.dtype(stream_dtype) != wts.dtype:
         wts = wts.astype(stream_dtype)
 
     # One fused multi-operand sort is cheaper on TPU than argsort + takes.
     idx_s, ptr_s, wts_s = jax.lax.sort((idx, ptr, wts), num_keys=1)
-    upd_s = jnp.take(grads, ptr_s, axis=0, mode="clip") * wts_s[
-        :, None
-    ].astype(grads.dtype)
-    if upd_s.dtype != out_dtype:
-        upd_s = upd_s.astype(out_dtype)
-    from cunvsm_tpu.ops.segment_kernels import sorted_segment_sum
-
-    return sorted_segment_sum(upd_s, idx_s, num_rows)
+    return _finish(grads, idx_s, ptr_s, wts_s)
 
 
 def _scatter_add_scalar(

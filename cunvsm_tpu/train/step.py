@@ -70,6 +70,7 @@ def _text_entity_grads(params, batch, key, desc, cfg, num_entities=None):
         params, batch, entity_ids, desc,
         factored_entity_grads=_accumulate_only_optimizer(cfg),
         stream_dtype=cfg.resolved_stream_dtype(),
+        uniform_feature_weights=cfg.uniform_feature_weights,
     )
     return cost, grads
 

@@ -126,6 +126,16 @@ def train_model(
     kind = objective_kind_from_config(cfg)
     key = jax.random.PRNGKey(cfg.seed)
 
+    # UNIFORM feature weighting means every batch's feature_weights are all
+    # ones: promise that statically so the step can skip the window-average
+    # multiply and run the packed accumulation sort (config.py).
+    if feature_weighting == FeatureWeighting.UNIFORM:
+        cfg = dataclasses.replace(cfg, uniform_feature_weights=True)
+    elif cfg.uniform_feature_weights:
+        raise ValueError(
+            "uniform_feature_weights requires UNIFORM feature weighting"
+        )
+
     source = TextEntitySource(
         corpus,
         batch_size=cfg.batch_size,

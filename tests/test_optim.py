@@ -330,3 +330,109 @@ def test_sparse_modes_reject_multiple_descriptors():
         state = opt.init(params)
         with pytest.raises(AssertionError):
             opt.apply(params, state, multi, 0.5, 0.0)
+
+
+class TestSegmentAccumulateLayouts:
+    """The sort layouts in _sorted_segment_accumulate (packed uint32 /
+    two-operand / three-operand) must all reproduce the reference scatter
+    semantics exactly, including at the 16-bit packing boundaries."""
+
+    def _check(self, num_rows, desc, monkeypatch=None, variant=None):
+        from cunvsm_tpu.optim.updates import _sorted_segment_accumulate
+
+        if variant is not None:
+            monkeypatch.setenv("CUNVSM_ACCUM_VARIANT", variant)
+        got = np.asarray(_sorted_segment_accumulate(num_rows, (desc,)))
+        want = np_scatter((num_rows, desc.grad.shape[1]), desc)
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    def test_packed_boundary_ids(self):
+        # Row ids at the top of the 16-bit range (>= 2^15 would flip the
+        # sign bit of an int32 key; the packed key is uint32).
+        num_rows = 1 << 16
+        rng = np.random.RandomState(0)
+        n_inst, window, dim = 7, 3, 2
+        idx = rng.randint(0, num_rows, (n_inst, window)).astype(np.int32)
+        idx[0, 0] = num_rows - 1
+        idx[1, :] = num_rows - 1  # duplicates of the max id
+        idx[2, 0] = 0
+        desc = SparseGrad(
+            grad=jnp.asarray(rng.randn(n_inst, dim)),
+            indices=jnp.asarray(idx),
+            weights=None,
+        )
+        self._check(num_rows, desc)
+
+    def test_weightfree_above_packing_bound(self):
+        # num_rows > 2^16 forces the two-operand weight-free layout.
+        num_rows = (1 << 16) + 8
+        rng = np.random.RandomState(1)
+        n_inst, window, dim = 5, 2, 3
+        idx = rng.randint(0, num_rows, (n_inst, window)).astype(np.int32)
+        idx[0, 0] = num_rows - 1
+        desc = SparseGrad(
+            grad=jnp.asarray(rng.randn(n_inst, dim)),
+            indices=jnp.asarray(idx),
+            weights=None,
+        )
+        self._check(num_rows, desc)
+
+    def test_twoop_weighted_variant(self, monkeypatch):
+        rng = np.random.RandomState(2)
+        n_inst, window, dim, num_rows = 6, 4, 3, 11
+        desc = SparseGrad(
+            grad=jnp.asarray(rng.randn(n_inst, dim)),
+            indices=jnp.asarray(
+                rng.randint(0, num_rows, (n_inst, window)), jnp.int32
+            ),
+            weights=jnp.asarray(rng.rand(n_inst, window) + 0.5),
+        )
+        self._check(num_rows, desc, monkeypatch, "twoop")
+
+
+def test_uniform_feature_weights_flag_matches_explicit_ones():
+    """TrainConfig.uniform_feature_weights must produce bit-identical
+    updates to explicit all-ones feature weights (it only changes the
+    compute layout, never the math)."""
+    from cunvsm_tpu.config import ModelDesc, Nonlinearity
+    from cunvsm_tpu.models.objectives import TextEntityBatch
+    from cunvsm_tpu.models.params import init_params
+    from cunvsm_tpu.train.step import make_train_step
+
+    desc = ModelDesc(
+        word_repr_size=5,
+        entity_repr_size=4,
+        nonlinearity=Nonlinearity.HARD_TANH,
+        batch_normalization=True,
+    )
+    base = TrainConfig(
+        batch_size=8,
+        window_size=3,
+        num_random_entities=2,
+        update_method=UpdateMethod.ADAM,
+        adam=AdamConfig(mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
+        learning_rate=0.5,
+        regularization_lambda=0.1,
+    )
+    rng = np.random.RandomState(3)
+    batch = TextEntityBatch(
+        features=jnp.asarray(rng.randint(0, 9, (8, 3)), jnp.int32),
+        feature_weights=jnp.ones((8, 3)),
+        labels=jnp.asarray(rng.randint(0, 6, (8,)), jnp.int32),
+        weights=jnp.asarray(rng.rand(8) + 0.5),
+    )
+    key = jax.random.PRNGKey(7)
+    outs = []
+    for uniform in (False, True):
+        import dataclasses
+
+        cfg = dataclasses.replace(base, uniform_feature_weights=uniform)
+        params = init_params(jax.random.PRNGKey(0), 9, 6, desc)
+        opt = Optimizer(cfg)
+        step = make_train_step(desc, cfg, jit=False)
+        p, _, cost = step(params, opt.init(params), batch, key)
+        outs.append((np.asarray(p.word_reprs), np.asarray(p.entity_reprs),
+                     float(cost)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+    assert outs[0][2] == outs[1][2]
