@@ -114,6 +114,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Accumulator width of the full_adam dense segment "
                         "accumulation (bfloat16 keeps the scatter at "
                         "stream width; see TrainConfig.accum_dtype).")
+    p.add_argument("--shared_negatives", action="store_true",
+                   help="Batch-shared negative sampling (TPU-native NCE "
+                        "formulation: negative dots/gradients become MXU "
+                        "GEMMs; requires sgd or full_adam).")
     p.add_argument("--on_device_sampling", action="store_true",
                    help="Keep the packed corpus in HBM and sample batches "
                         "inside the compiled step (stochastic text-entity "
@@ -164,6 +168,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         stream_dtype=args.stream_dtype,
         accum_dtype=args.accum_dtype,
+        shared_negatives=args.shared_negatives,
     )
     data_cfg = DataConfig(
         corpus_path=args.corpus_path,

@@ -123,6 +123,18 @@ class TrainConfig:
     # disables all casts (tests run float64 through the same path).
     stream_dtype: str = "float32"
 
+    # Batch-shared negative sampling: the k negatives are drawn once per
+    # step and shared by every instance (TPU-native NCE formulation — the
+    # negative dots and negative-row gradients become MXU GEMMs and the
+    # entity scatter shrinks from B*k rows to k dense rows; on a mesh the
+    # negative gather is a k-row broadcast instead of a cross-shard storm).
+    # The per-example loss keeps the reference's exact form (1 positive +
+    # k uniform negatives, same bias correction); only the cross-instance
+    # correlation of the draws changes.  Off by default for exact reference
+    # sampling parity; requires an accumulate-only optimizer (SGD or
+    # full_adam) and no entity L2 normalization.
+    shared_negatives: bool = False
+
     # Static promise that every batch's feature_weights are all ones (the
     # UNIFORM feature-weighting strategy, the reference's default and the
     # canonical NVSM/LSE configuration, functions.sh:369-400).  When set,
@@ -133,6 +145,17 @@ class TrainConfig:
     # feature-weighting strategy; it must never be combined with
     # self-information weights.
     uniform_feature_weights: bool = False
+
+    # Accumulator dtype of the forward window average (gather_phrase_reprs).
+    # The default float32 widening forces XLA on this toolchain to
+    # materialize a full-width copy of the gathered word stream before the
+    # reduce (~614 MB/step at the canonical configuration); "bfloat16" sums
+    # the 10-element window at stream width and widens after (worst-case
+    # relative error ~2^-8 * window/2, absorbed by the batch-norm that
+    # follows in the NVSM configuration).  Only meaningful with
+    # stream_dtype=bfloat16; quality-validate before enabling (see
+    # PERFORMANCE.md).
+    window_sum_dtype: str = "float32"
 
     # Accumulator dtype for the full_adam dense segment accumulation.
     # "bfloat16" keeps the sorted scatter itself at stream width — the
@@ -155,6 +178,13 @@ class TrainConfig:
 
     def resolved_accum_dtype(self) -> Optional[str]:
         return None if self.accum_dtype == "float32" else self.accum_dtype
+
+    def resolved_window_sum_dtype(self) -> Optional[str]:
+        return (
+            None
+            if self.window_sum_dtype == "float32"
+            else self.window_sum_dtype
+        )
 
     def resolved_learning_rate(self) -> float:
         if self.learning_rate != 0.0:

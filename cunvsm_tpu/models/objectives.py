@@ -101,6 +101,7 @@ def gather_phrase_reprs(
     word_reprs: jax.Array,
     features: jax.Array,
     feature_weights: Optional[jax.Array],
+    window_sum_dtype=None,
 ) -> jax.Array:
     """Windowed weighted average of word representations.
 
@@ -126,6 +127,15 @@ def gather_phrase_reprs(
     # (HLO-verified on v5e); the elementwise convert fuses this way.
     if feature_weights is not None:
         gathered = gathered * feature_weights.astype(gathered.dtype)[:, :, None]
+    if (
+        window_sum_dtype is not None
+        and jnp.dtype(window_sum_dtype) == gathered.dtype
+    ):
+        # Stream-width window accumulation (TrainConfig.window_sum_dtype):
+        # avoids the materialized full-width copy XLA otherwise emits for
+        # the widening reduce on this toolchain (~2 ms/step at canonical
+        # shapes); widened after the 10-element sum.
+        return (jnp.sum(gathered, axis=1) / window).astype(acc_dtype)
     return jnp.sum(gathered, axis=1, dtype=acc_dtype) / window
 
 
@@ -273,6 +283,7 @@ def text_entity_cost_and_grads(
     factored_entity_grads: bool = False,
     stream_dtype=None,
     uniform_feature_weights: bool = False,
+    window_sum_dtype=None,
 ):
     """Cost + ascent gradients in the reference's sparse-descriptor form.
 
@@ -321,7 +332,7 @@ def text_entity_cost_and_grads(
         entity_table = entity_table.astype(stream_dtype)
 
     phrase_pre = gather_phrase_reprs(
-        word_table, batch.features, feature_weights
+        word_table, batch.features, feature_weights, window_sum_dtype
     )
     entity_pre = jnp.take(entity_table, entity_ids, axis=0, mode="clip")
     nce_w = nce_instance_weights(batch.weights, num_negative, desc)
@@ -451,6 +462,161 @@ def _cost_and_grads_factored(
                 grad=projections,
                 indices=entity_ids,
                 weights=-g_dots_raw,
+            ),
+        ),
+        transform_w=-g_w,
+        transform_b=-g_b,
+    )
+    return cost, similarity_probs, ascent
+
+
+def sample_shared_negative_entities(
+    key: jax.Array, num_entities: int, num_negative: int
+) -> jax.Array:
+    """One batch-shared pool of k uniform negative entity ids.
+
+    TPU-native variant of per-instance sampling (labels.cu:3-22): every
+    instance in the batch scores against the *same* k negatives, which turns
+    the NCE negative dots and the negative entity gradients into dense
+    [B, k] x [k, d] GEMMs on the MXU and shrinks the negative side of the
+    sparse update from B*k scattered rows to k dense rows.  The per-example
+    loss has the identical form (1 positive + k uniform negatives with the
+    same bias correction); only the cross-instance correlation of the
+    negative draws differs.  Quality parity is validated empirically
+    (PERFORMANCE.md).
+    """
+    return jax.random.randint(key, (num_negative,), 0, num_entities, jnp.int32)
+
+
+def text_entity_cost_and_grads_shared(
+    params: ModelParams,
+    batch: TextEntityBatch,
+    neg_ids: jax.Array,
+    desc: ModelDesc,
+    batch_size_normalizer: jax.Array | float | None = None,
+    stream_dtype=None,
+    uniform_feature_weights: bool = False,
+    window_sum_dtype=None,
+):
+    """Cost + ascent gradients with batch-shared negatives.
+
+    Same loss form as the reference objective (objective.cu:30-313) with the
+    [pos, neg_1..neg_k] slots, but the k negatives are shared across the
+    batch (see sample_shared_negative_entities).  The gradient math mirrors
+    the factored path with the per-slot structure replaced by GEMMs:
+
+      dots_raw[b, 0]   = <proj_b, pos_b>         (gathered labels rows)
+      dots_raw[b, 1+n] = <proj_b, neg_n>         (one [B,d] @ [d,k] GEMM)
+      d cost/d proj_b  = g0_b * pos_b + g_neg[b] @ negs
+      d ascent/d pos_b = -g0_b * proj_b           (rank-1 sparse descriptor)
+      d ascent/d neg_n = -sum_b g_neg[b,n] proj_b ([k,B] @ [B,d] GEMM, a
+                         dense k-row descriptor)
+
+    Unsupported here: entity L2 normalization (the per-row normalizer
+    backward does not share the GEMM structure).
+    """
+    if desc.l2_normalize_entity_reprs:
+        raise ValueError(
+            "shared negatives do not support l2_normalize_entity_reprs"
+        )
+    if batch_size_normalizer is None:
+        batch_size_normalizer = batch.features.shape[0]
+    window = batch.features.shape[1]
+    num_negative = neg_ids.shape[0]
+    feature_weights = (
+        None if uniform_feature_weights else batch.feature_weights
+    )
+
+    word_table = params.word_reprs
+    entity_table = params.entity_reprs
+    if (
+        stream_dtype is not None
+        and jnp.dtype(stream_dtype) != word_table.dtype
+    ):
+        word_table = word_table.astype(stream_dtype)
+        entity_table = entity_table.astype(stream_dtype)
+
+    phrase_pre = gather_phrase_reprs(
+        word_table, batch.features, feature_weights, window_sum_dtype
+    )
+    pos = jnp.take(entity_table, batch.labels, axis=0, mode="clip")  # [B, d]
+    negs = jnp.take(entity_table, neg_ids, axis=0, mode="clip")  # [k, d]
+    nce_w = nce_instance_weights(batch.weights, num_negative, desc)
+
+    acc_dtype = (
+        jnp.float32 if pos.dtype == jnp.bfloat16 else pos.dtype
+    )
+    signs = jnp.concatenate(
+        [jnp.ones((1,)), -jnp.ones((num_negative,))]
+    ).astype(acc_dtype)
+    eps_f = desc.sigmoid_eps_forward if desc.clip_sigmoid else 0.0
+    eps_b = desc.sigmoid_eps_backward if desc.clip_sigmoid else 0.0
+
+    def project(phrase_pre_, w_, b_):
+        phrase = phrase_pre_
+        if desc.l2_normalize_phrase_reprs:
+            phrase = l2_normalize_rows(phrase)
+        return apply_transform(
+            phrase, w_, b_, desc, desc.batch_normalization
+        )
+
+    projections, project_vjp = jax.vjp(
+        project, phrase_pre, params.transform_w, params.transform_b
+    )
+    proj_s = projections.astype(pos.dtype)
+
+    pos_dots = jnp.sum(proj_s * pos, axis=-1, dtype=acc_dtype)  # [B]
+    # MXU GEMM with native mixed-precision accumulation.
+    neg_dots = jax.lax.dot_general(
+        proj_s, negs, (((1,), (1,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    )  # [B, k]
+    dots_raw = jnp.concatenate([pos_dots[:, None], neg_dots], axis=1)
+
+    def tail(dots_raw_):
+        dots = dots_raw_ * signs[None, :]
+        log_probs = log_truncated_sigmoid(dots, eps_f, eps_b)
+        cost = -jnp.sum(nce_w * log_probs) / batch_size_normalizer
+        return cost, truncated_sigmoid(dots, eps_f)
+
+    (cost, tail_vjp, similarity_probs) = jax.vjp(tail, dots_raw, has_aux=True)
+    (g_dots_raw,) = tail_vjp(jnp.ones((), cost.dtype))
+    g0 = g_dots_raw[:, 0]  # [B]
+    g_neg = g_dots_raw[:, 1:].astype(pos.dtype)  # [B, k]
+
+    g_projections = (
+        g0.astype(acc_dtype)[:, None] * pos.astype(acc_dtype)
+        + jax.lax.dot_general(
+            g_neg, negs, (((1,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        )
+    ).astype(projections.dtype)
+    g_phrase, g_w, g_b = project_vjp(g_projections)
+
+    # Dense negative-rows gradient: [k, B] @ [B, d] on the MXU.
+    g_negs_rows = jax.lax.dot_general(
+        g_neg, proj_s, (((0,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    )  # [k, d]
+
+    ascent = AscentGrads(
+        word=(
+            SparseGrad(
+                grad=-g_phrase / window,
+                indices=batch.features,
+                weights=feature_weights,
+            ),
+        ),
+        entity=(
+            SparseGrad(
+                grad=projections,
+                indices=batch.labels[:, None],
+                weights=-g_dots_raw[:, :1],
+            ),
+            SparseGrad(
+                grad=-g_negs_rows.astype(acc_dtype),
+                indices=neg_ids[:, None],
+                weights=None,
             ),
         ),
         transform_w=-g_w,

@@ -62,6 +62,23 @@ def _text_entity_grads(params, batch, key, desc, cfg, num_entities=None):
     # num_entities overrides the sampling range when the entity table is
     # padded (e.g. to a multiple of the mesh model axis): padded rows must
     # never be sampled as negatives.
+    if cfg.shared_negatives:
+        if not _accumulate_only_optimizer(cfg):
+            raise ValueError(
+                "shared_negatives requires an accumulate-only optimizer "
+                "(sgd or full_adam)"
+            )
+        neg_ids = obj.sample_shared_negative_entities(
+            key, num_entities or params.num_entities,
+            cfg.num_random_entities,
+        )
+        cost, _, grads = obj.text_entity_cost_and_grads_shared(
+            params, batch, neg_ids, desc,
+            stream_dtype=cfg.resolved_stream_dtype(),
+            uniform_feature_weights=cfg.uniform_feature_weights,
+            window_sum_dtype=cfg.resolved_window_sum_dtype(),
+        )
+        return cost, grads
     entity_ids = obj.sample_negative_entities(
         key, batch.labels, num_entities or params.num_entities,
         cfg.num_random_entities,
@@ -71,6 +88,7 @@ def _text_entity_grads(params, batch, key, desc, cfg, num_entities=None):
         factored_entity_grads=_accumulate_only_optimizer(cfg),
         stream_dtype=cfg.resolved_stream_dtype(),
         uniform_feature_weights=cfg.uniform_feature_weights,
+        window_sum_dtype=cfg.resolved_window_sum_dtype(),
     )
     return cost, grads
 

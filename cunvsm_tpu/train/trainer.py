@@ -119,9 +119,9 @@ def train_model(
     batch_size divisible by the data axis and the entity count by the model
     axis.  ``on_device_sampling`` keeps the packed corpus in HBM and samples
     batches inside the compiled step (data/device_sampler.py) — the fastest
-    path for stochastic text-entity training; sampling is i.i.d.-uniform per
-    batch rather than the host generator's exact per-epoch per-document
-    counts.
+    path for stochastic text-entity training; epoch-exact by default (the
+    per-epoch document-pointer permutation is reshuffled on device,
+    reproducing the host generator's per-document sample counts).
     """
     kind = objective_kind_from_config(cfg)
     key = jax.random.PRNGKey(cfg.seed)

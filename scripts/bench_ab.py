@@ -44,13 +44,16 @@ desc = ModelDesc(
     nonlinearity=Nonlinearity.HARD_TANH, batch_normalization=True,
 )
 cfg = TrainConfig(
-    batch_size=51200, window_size=10, num_random_entities=10,
+    batch_size=51200, window_size=10,
+    num_random_entities=variant.get("num_negatives", 10),
     update_method=UpdateMethod.ADAM,
     adam=AdamConfig(mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
     learning_rate=1e-3, regularization_lambda=1e-2,
     stream_dtype=variant.get("stream_dtype", "bfloat16"),
     accum_dtype=variant.get("accum_dtype", "float32"),
     uniform_feature_weights=variant.get("uniform", True),
+    window_sum_dtype=variant.get("window_sum_dtype", "float32"),
+    shared_negatives=variant.get("shared", False),
 )
 
 key = jax.random.PRNGKey(0)
@@ -104,6 +107,14 @@ VARIANTS = {
     "accbf16": {"accum_dtype": "bfloat16"},
     "twoop_acc": {"env": "twoop", "accum_dtype": "bfloat16"},
     "f32base": {"stream_dtype": "float32"},
+    "wsum": {"window_sum_dtype": "bfloat16"},
+    "shared": {"shared": True},
+    "shared1024": {"shared": True, "num_negatives": 1024},
+    "shared_wsum": {"shared": True, "window_sum_dtype": "bfloat16"},
+    "shared_wsum_acc": {
+        "shared": True, "window_sum_dtype": "bfloat16",
+        "accum_dtype": "bfloat16",
+    },
 }
 
 

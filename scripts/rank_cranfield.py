@@ -45,6 +45,9 @@ def main(argv=None):
                    help="small dims / few epochs for smoke testing")
     p.add_argument("--stream_dtype", default="float32",
                    choices=("float32", "bfloat16"))
+    p.add_argument("--shared_negatives", action="store_true",
+                   help="batch-shared negative sampling (TPU-native mode)")
+    p.add_argument("--num_negatives", type=int, default=10)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--models", default="lse,nvsm",
                    help="comma-separated subset of models to train")
@@ -127,7 +130,8 @@ def main(argv=None):
     base_train = dict(
         num_epochs=epochs,
         window_size=window,
-        num_random_entities=10,
+        num_random_entities=args.num_negatives,
+        shared_negatives=args.shared_negatives,
         regularization_lambda=1e-2,
         learning_rate=1e-3,
         update_method=UpdateMethod.ADAM,

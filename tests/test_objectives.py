@@ -259,3 +259,144 @@ class TestFactoredEntityGrads:
         )
         # Falls back to the expanded layout (window 1).
         assert g.entity[0].indices.shape[1] == 1
+
+
+class TestSharedNegatives:
+    """Batch-shared negatives: identical loss to per-instance ids tiled with
+    the same k negatives, and hand-VJP gradients that match autodiff."""
+
+    def _setup(self, rng, desc):
+        params = make_params(rng, num_words=9, num_entities=6, d_w=4, d_e=3)
+        B, W, K = 5, 3, 4
+        batch = obj.TextEntityBatch(
+            features=jnp.asarray(rng.randint(0, 9, (B, W)), jnp.int32),
+            feature_weights=jnp.asarray(rng.rand(B, W) + 0.5),
+            labels=jnp.asarray(rng.randint(0, 6, (B,)), jnp.int32),
+            weights=jnp.asarray(rng.rand(B) + 0.5),
+        )
+        neg_ids = jnp.asarray(rng.randint(0, 6, (K,)), jnp.int32)
+        tiled = jnp.concatenate(
+            [batch.labels[:, None], jnp.broadcast_to(neg_ids, (B, K))], axis=1
+        )
+        return params, batch, neg_ids, tiled
+
+    @pytest.mark.parametrize(
+        "desc",
+        [
+            ModelDesc(word_repr_size=4, entity_repr_size=3),
+            ModelDesc(
+                word_repr_size=4,
+                entity_repr_size=3,
+                nonlinearity=Nonlinearity.HARD_TANH,
+                batch_normalization=True,
+            ),
+            ModelDesc(
+                word_repr_size=4,
+                entity_repr_size=3,
+                l2_normalize_phrase_reprs=True,
+                bias_negative_samples=True,
+            ),
+        ],
+    )
+    def test_matches_tiled_per_instance(self, rng, desc):
+        params, batch, neg_ids, tiled = self._setup(rng, desc)
+
+        cost_shared, probs_shared, grads = obj.text_entity_cost_and_grads_shared(
+            params, batch, neg_ids, desc
+        )
+        cost_ref, probs_ref = obj.text_entity_cost(params, batch, tiled, desc)
+        np.testing.assert_allclose(
+            float(cost_shared), float(cost_ref), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(probs_shared), np.asarray(probs_ref), rtol=1e-12
+        )
+
+        # Autodiff oracle over the full parameter pytree.
+        def cost_fn(p):
+            c, _ = obj.text_entity_cost(p, batch, tiled, desc)
+            return c
+
+        g = jax.grad(cost_fn)(params)
+
+        def scatter(descs, shape):
+            out = np.zeros(shape)
+            for d in descs:
+                gr = np.asarray(d.grad)
+                idx = np.asarray(d.indices)
+                w = (
+                    np.asarray(d.weights)
+                    if d.weights is not None
+                    else np.ones_like(idx, dtype=np.float64)
+                )
+                for i in range(idx.shape[0]):
+                    for j in range(idx.shape[1]):
+                        out[idx[i, j]] += w[i, j] * gr[i]
+            return out
+
+        np.testing.assert_allclose(
+            scatter(grads.word, params.word_reprs.shape),
+            -np.asarray(g.word_reprs),
+            rtol=1e-9, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            scatter(grads.entity, params.entity_reprs.shape),
+            -np.asarray(g.entity_reprs),
+            rtol=1e-9, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(grads.transform_w), -np.asarray(g.transform_w),
+            rtol=1e-9, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(grads.transform_b), -np.asarray(g.transform_b),
+            rtol=1e-9, atol=1e-12,
+        )
+
+    def test_rejects_entity_l2norm(self, rng):
+        desc = ModelDesc(
+            word_repr_size=4, entity_repr_size=3,
+            l2_normalize_entity_reprs=True,
+        )
+        params, batch, neg_ids, _ = self._setup(rng, ModelDesc(4, 3))
+        with pytest.raises(ValueError):
+            obj.text_entity_cost_and_grads_shared(
+                params, batch, neg_ids, desc
+            )
+
+    def test_train_step_runs_and_rejects_sparse_optimizers(self, rng):
+        import dataclasses
+
+        from cunvsm_tpu.config import (
+            AdamConfig, AdamMode, TrainConfig, UpdateMethod,
+        )
+        from cunvsm_tpu.optim.updates import Optimizer
+        from cunvsm_tpu.train.step import make_train_step
+
+        desc = ModelDesc(
+            word_repr_size=4, entity_repr_size=3,
+            nonlinearity=Nonlinearity.HARD_TANH, batch_normalization=True,
+        )
+        cfg = TrainConfig(
+            batch_size=5, window_size=3, num_random_entities=4,
+            update_method=UpdateMethod.ADAM,
+            adam=AdamConfig(mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
+            learning_rate=0.1, regularization_lambda=0.01,
+            shared_negatives=True,
+        )
+        params, batch, _, _ = self._setup(rng, desc)
+        opt = Optimizer(cfg)
+        step = make_train_step(desc, cfg, jit=False)
+        p, o, cost = step(params, opt.init(params), batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(cost))
+        assert not np.allclose(
+            np.asarray(p.entity_reprs), np.asarray(params.entity_reprs)
+        )
+
+        sparse_cfg = dataclasses.replace(
+            cfg, adam=AdamConfig(mode=AdamMode.SPARSE)
+        )
+        step2 = make_train_step(desc, sparse_cfg, jit=False)
+        with pytest.raises(ValueError):
+            step2(params, Optimizer(sparse_cfg).init(params), batch,
+                  jax.random.PRNGKey(0))
