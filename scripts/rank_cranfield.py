@@ -48,6 +48,8 @@ def main(argv=None):
     p.add_argument("--shared_negatives", action="store_true",
                    help="batch-shared negative sampling (TPU-native mode)")
     p.add_argument("--num_negatives", type=int, default=10)
+    p.add_argument("--window_sum_dtype", default="float32",
+                   choices=("float32", "bfloat16"))
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--models", default="lse,nvsm",
                    help="comma-separated subset of models to train")
@@ -138,6 +140,7 @@ def main(argv=None):
         adam=AdamConfig(mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
         seed=args.seed,
         stream_dtype=args.stream_dtype,
+        window_sum_dtype=args.window_sum_dtype,
     )
 
     selected = set(args.models.split(","))

@@ -282,3 +282,34 @@ def test_query_engine_with_mesh_matches_dense():
             [s for _, s in run_a[qid]], [s for _, s in run_b[qid]],
             rtol=1e-5,
         )
+
+
+def test_sharded_step_shared_negatives_matches_single_device():
+    """Batch-shared negatives through the mesh: the k-negative pool is drawn
+    from a replicated key (identical on every shard by construction) and the
+    dense k-row descriptor accumulates into the model-sharded entity table."""
+    import dataclasses
+
+    desc, cfg, params, opt_state = make_setup()
+    cfg = dataclasses.replace(cfg, shared_negatives=True)
+    batch = make_batch()
+    key = jax.random.PRNGKey(11)
+
+    single = make_train_step(desc, cfg, jit=False)
+    p_ref, _, cost_ref = single(params, opt_state, batch, key)
+
+    mesh = make_mesh(2, 4)
+    step, p_sh, o_sh = make_sharded_train_step(
+        desc, cfg, mesh, params, opt_state, batch
+    )
+    p_out, _, cost = step(p_sh, o_sh, batch, key)
+
+    np.testing.assert_allclose(float(cost), float(cost_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p_out.entity_reprs), np.asarray(p_ref.entity_reprs),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_out.word_reprs), np.asarray(p_ref.word_reprs),
+        rtol=1e-5, atol=1e-7,
+    )
