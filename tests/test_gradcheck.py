@@ -205,3 +205,49 @@ def test_padded_batch_zero_weight_instances():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12
         )
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+@pytest.mark.parametrize(
+    "desc",
+    [
+        ModelDesc(nonlinearity=Nonlinearity.TANH),
+        ModelDesc(nonlinearity=Nonlinearity.HARD_TANH,
+                  batch_normalization=True),
+        ModelDesc(nonlinearity=Nonlinearity.TANH,
+                  l2_normalize_phrase_reprs=True,
+                  bias_negative_samples=True),
+    ],
+)
+def test_shared_negatives_gradients_through_training(seed, desc):
+    """FD-check the shared-negatives hand-VJP on evolved parameter states:
+    a few full_adam training steps with every batch's analytic gradients
+    verified against central differences (the reference's training-loop
+    protocol, gradient_checking_tests.cu:68-334)."""
+    import dataclasses
+
+    from cunvsm_tpu.config import AdamConfig, AdamMode, UpdateMethod
+    from cunvsm_tpu.optim.updates import Optimizer
+    from cunvsm_tpu.train.step import make_train_step
+
+    cfg = dataclasses.replace(
+        _base_cfg(),
+        update_method=UpdateMethod.ADAM,
+        adam=AdamConfig(mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
+        learning_rate=0.05,
+        regularization_lambda=0.01,
+        shared_negatives=True,
+    )
+    params = make_params(seed)
+    opt = Optimizer(cfg)
+    opt_state = opt.init(params)
+    step = make_train_step(desc, cfg, jit=False)
+    key = jax.random.PRNGKey(seed)
+    for i in range(3):
+        key, bkey, skey = jax.random.split(key, 3)
+        batch = make_te_batch(seed * 10 + i)
+        check_gradients(
+            ObjectiveKind.TEXT_ENTITY, params, batch, skey, desc, cfg
+        )
+        params, opt_state, cost = step(params, opt_state, batch, skey)
+        assert np.isfinite(float(cost))
