@@ -73,6 +73,9 @@ def main():
         # under bfloat16 streams sits inside the float32 seed spread
         # (PERFORMANCE.md), the fp32 fast-math release-build analog.
         stream_dtype="bfloat16",
+        # Stream-width window accumulation: quality-validated seed-for-seed
+        # against float32 on full Cranfield NVSM runs (PERFORMANCE.md).
+        window_sum_dtype="bfloat16",
         # Canonical runs use UNIFORM feature weighting (functions.sh:395);
         # the static promise enables the packed accumulation sort.
         uniform_feature_weights=True,

@@ -118,6 +118,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Batch-shared negative sampling (TPU-native NCE "
                         "formulation: negative dots/gradients become MXU "
                         "GEMMs; requires sgd or full_adam).")
+    p.add_argument("--negative_pool_size", type=int, default=0,
+                   help="Rolled-pool negative sampling: per-step pool of P "
+                        "uniform negatives, instance b uses cyclic slots "
+                        "(b %% P)+j — exact per-example loss with the GEMM "
+                        "structure of shared negatives (requires sgd or "
+                        "full_adam and batch %% P == 0).")
     p.add_argument("--on_device_sampling", action="store_true",
                    help="Keep the packed corpus in HBM and sample batches "
                         "inside the compiled step (stochastic text-entity "
@@ -169,6 +175,7 @@ def main(argv=None) -> int:
         stream_dtype=args.stream_dtype,
         accum_dtype=args.accum_dtype,
         shared_negatives=args.shared_negatives,
+        negative_pool_size=args.negative_pool_size,
     )
     data_cfg = DataConfig(
         corpus_path=args.corpus_path,

@@ -135,6 +135,17 @@ class TrainConfig:
     # full_adam) and no entity L2 normalization.
     shared_negatives: bool = False
 
+    # Rolled-pool negative sampling (> 0 enables; mutually exclusive with
+    # shared_negatives): draw a pool of this many uniform negative ids per
+    # step; instance b scores against the k = num_random_entities pool
+    # slots (b % P)+j (cyclic).  Keeps the reference's exact per-example
+    # loss (k uniform negatives, same bias correction) while the negative
+    # dots/gradients stay batched GEMMs and the entity-side scatter is
+    # B + P rows instead of B * (k+1).  Requires batch_size % P == 0,
+    # P >= k, an accumulate-only optimizer, and no entity L2
+    # normalization.
+    negative_pool_size: int = 0
+
     # Static promise that every batch's feature_weights are all ones (the
     # UNIFORM feature-weighting strategy, the reference's default and the
     # canonical NVSM/LSE configuration, functions.sh:369-400).  When set,

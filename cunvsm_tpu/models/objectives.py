@@ -625,6 +625,196 @@ def text_entity_cost_and_grads_shared(
     return cost, similarity_probs, ascent
 
 
+def sample_negative_pool(
+    key: jax.Array, num_entities: int, pool_size: int
+) -> jax.Array:
+    """Per-step pool of uniform negative ids for the rolled-pool scheme."""
+    return jax.random.randint(key, (pool_size,), 0, num_entities, jnp.int32)
+
+
+def rolled_pool_negative_ids(
+    pool_ids: jax.Array, batch_size: int, num_negative: int
+) -> jax.Array:
+    """The per-instance negative ids the rolled-pool scheme assigns:
+    instance b uses pool slots (b % P + j) % P for j in [0, k)."""
+    P = pool_ids.shape[0]
+    r = jnp.arange(batch_size, dtype=jnp.int32) % P
+    slots = (r[:, None] + jnp.arange(num_negative, dtype=jnp.int32)[None, :]) % P
+    return pool_ids[slots]
+
+
+def text_entity_cost_and_grads_pooled(
+    params: ModelParams,
+    batch: TextEntityBatch,
+    pool_ids: jax.Array,
+    num_negative: int,
+    desc: ModelDesc,
+    batch_size_normalizer: jax.Array | float | None = None,
+    stream_dtype=None,
+    uniform_feature_weights: bool = False,
+    window_sum_dtype=None,
+):
+    """Cost + ascent gradients with rolled-pool negatives.
+
+    The TPU-native middle ground between per-instance sampling (exact
+    reference semantics, B*k scattered gradient rows) and fully-shared
+    negatives (GEMM structure, but one pool for the whole batch): a pool of
+    P uniform negative ids is drawn per step and instance b scores against
+    the k *cyclically-shifted* pool slots (b % P)+j.  Every instance keeps
+    the reference's per-example loss form — exactly k uniform negatives
+    with the same bias correction (objective.cu:258-290) — while per step
+    P distinct documents receive negative updates and all heavy ops stay
+    dense:
+
+      * negative dots: one [P]-batched (Q x d) @ (d x k) GEMM over the
+        residue-major reshape proj[Q, P, d] and the pool windows
+        pool_windows[P, k, d] (window r = pool rows (r+j) % P);
+      * negative-row gradients: the transposed batched GEMM into
+        window-gradient form [P, k, d], folded back onto pool rows with k
+        rolls: pool_grad[p] = sum_j window_grads[(p - j) % P, j];
+      * the entity-side sparse update is B label rows (rank-1 descriptor)
+        plus P dense pool rows.
+
+    Requires batch_size % P == 0 and P >= k; entity L2 normalization is
+    unsupported (as in the shared mode).
+    """
+    if desc.l2_normalize_entity_reprs:
+        raise ValueError(
+            "pooled negatives do not support l2_normalize_entity_reprs"
+        )
+    B = batch.features.shape[0]
+    P = pool_ids.shape[0]
+    if B % P != 0:
+        raise ValueError(f"batch size {B} not divisible by pool size {P}")
+    if P < num_negative:
+        raise ValueError(f"pool size {P} < num negatives {num_negative}")
+    Q = B // P
+    k = num_negative
+    if batch_size_normalizer is None:
+        batch_size_normalizer = B
+    window = batch.features.shape[1]
+    feature_weights = (
+        None if uniform_feature_weights else batch.feature_weights
+    )
+
+    word_table = params.word_reprs
+    entity_table = params.entity_reprs
+    if (
+        stream_dtype is not None
+        and jnp.dtype(stream_dtype) != word_table.dtype
+    ):
+        word_table = word_table.astype(stream_dtype)
+        entity_table = entity_table.astype(stream_dtype)
+
+    phrase_pre = gather_phrase_reprs(
+        word_table, batch.features, feature_weights, window_sum_dtype
+    )
+    pos = jnp.take(entity_table, batch.labels, axis=0, mode="clip")  # [B, d]
+    pool = jnp.take(entity_table, pool_ids, axis=0, mode="clip")  # [P, d]
+    # Window r holds pool rows (r+j) % P for j in [0, k): a tiny [P*k]-row
+    # gather from the pool.
+    win_slots = (
+        jnp.arange(P, dtype=jnp.int32)[:, None]
+        + jnp.arange(k, dtype=jnp.int32)[None, :]
+    ) % P
+    pool_windows = jnp.take(pool, win_slots, axis=0, mode="clip")  # [P, k, d]
+    nce_w = nce_instance_weights(batch.weights, k, desc)
+
+    acc_dtype = jnp.float32 if pos.dtype == jnp.bfloat16 else pos.dtype
+    signs = jnp.concatenate(
+        [jnp.ones((1,)), -jnp.ones((k,))]
+    ).astype(acc_dtype)
+    eps_f = desc.sigmoid_eps_forward if desc.clip_sigmoid else 0.0
+    eps_b = desc.sigmoid_eps_backward if desc.clip_sigmoid else 0.0
+
+    def project(phrase_pre_, w_, b_):
+        phrase = phrase_pre_
+        if desc.l2_normalize_phrase_reprs:
+            phrase = l2_normalize_rows(phrase)
+        return apply_transform(
+            phrase, w_, b_, desc, desc.batch_normalization
+        )
+
+    projections, project_vjp = jax.vjp(
+        project, phrase_pre, params.transform_w, params.transform_b
+    )
+    proj_s = projections.astype(pos.dtype)
+    # Residue-major view: row b = q*P + r -> [Q, P, d].
+    proj_r = proj_s.reshape(Q, P, -1)
+
+    pos_dots = jnp.sum(proj_s * pos, axis=-1, dtype=acc_dtype)  # [B]
+    # [P]-batched GEMM: [Q, d] @ [d, k] per residue.
+    neg_dots = jax.lax.dot_general(
+        proj_r.transpose(1, 0, 2),  # [P, Q, d]
+        pool_windows,  # [P, k, d]
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=acc_dtype,
+    )  # [P, Q, k]
+    neg_dots = neg_dots.transpose(1, 0, 2).reshape(B, k)
+    dots_raw = jnp.concatenate([pos_dots[:, None], neg_dots], axis=1)
+
+    def tail(dots_raw_):
+        dots = dots_raw_ * signs[None, :]
+        log_probs = log_truncated_sigmoid(dots, eps_f, eps_b)
+        cost = -jnp.sum(nce_w * log_probs) / batch_size_normalizer
+        return cost, truncated_sigmoid(dots, eps_f)
+
+    (cost, tail_vjp, similarity_probs) = jax.vjp(tail, dots_raw, has_aux=True)
+    (g_dots_raw,) = tail_vjp(jnp.ones((), cost.dtype))
+    g0 = g_dots_raw[:, 0]  # [B]
+    g_neg = g_dots_raw[:, 1:].astype(pos.dtype)  # [B, k]
+    g_neg_r = g_neg.reshape(Q, P, k).transpose(1, 0, 2)  # [P, Q, k]
+
+    # d cost / d proj: batched [Q, k] @ [k, d] against the pool windows.
+    g_proj_neg = jax.lax.dot_general(
+        g_neg_r, pool_windows,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=acc_dtype,
+    )  # [P, Q, d]
+    g_projections = (
+        g0.astype(acc_dtype)[:, None] * pos.astype(acc_dtype)
+        + g_proj_neg.transpose(1, 0, 2).reshape(B, -1)
+    ).astype(projections.dtype)
+    g_phrase, g_w, g_b = project_vjp(g_projections)
+
+    # Window-gradient form, then fold windows back onto pool rows:
+    # pool_grad[p] = sum_j window_grads[(p - j) % P, j].
+    window_grads = jax.lax.dot_general(
+        g_neg_r.transpose(0, 2, 1),  # [P, k, Q]
+        proj_r.transpose(1, 0, 2),  # [P, Q, d]
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=acc_dtype,
+    )  # [P, k, d]
+    pool_grad = window_grads[:, 0, :]
+    for j in range(1, k):
+        pool_grad = pool_grad + jnp.roll(window_grads[:, j, :], j, axis=0)
+
+    ascent = AscentGrads(
+        word=(
+            SparseGrad(
+                grad=-g_phrase / window,
+                indices=batch.features,
+                weights=feature_weights,
+            ),
+        ),
+        entity=(
+            SparseGrad(
+                grad=projections,
+                indices=batch.labels[:, None],
+                weights=-g_dots_raw[:, :1],
+            ),
+            SparseGrad(
+                grad=-pool_grad.astype(acc_dtype),
+                indices=pool_ids[:, None],
+                weights=None,
+            ),
+        ),
+        transform_w=-g_w,
+        transform_b=-g_b,
+    )
+    return cost, similarity_probs, ascent
+
+
 def similarity_loss(
     gathered: jax.Array,
     weights: jax.Array,

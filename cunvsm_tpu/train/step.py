@@ -62,12 +62,29 @@ def _text_entity_grads(params, batch, key, desc, cfg, num_entities=None):
     # num_entities overrides the sampling range when the entity table is
     # padded (e.g. to a multiple of the mesh model axis): padded rows must
     # never be sampled as negatives.
-    if cfg.shared_negatives:
+    if cfg.shared_negatives and cfg.negative_pool_size:
+        raise ValueError(
+            "shared_negatives and negative_pool_size are mutually exclusive"
+        )
+    if cfg.shared_negatives or cfg.negative_pool_size:
         if not _accumulate_only_optimizer(cfg):
             raise ValueError(
-                "shared_negatives requires an accumulate-only optimizer "
-                "(sgd or full_adam)"
+                "shared/pooled negatives require an accumulate-only "
+                "optimizer (sgd or full_adam)"
             )
+    if cfg.negative_pool_size:
+        pool_ids = obj.sample_negative_pool(
+            key, num_entities or params.num_entities,
+            cfg.negative_pool_size,
+        )
+        cost, _, grads = obj.text_entity_cost_and_grads_pooled(
+            params, batch, pool_ids, cfg.num_random_entities, desc,
+            stream_dtype=cfg.resolved_stream_dtype(),
+            uniform_feature_weights=cfg.uniform_feature_weights,
+            window_sum_dtype=cfg.resolved_window_sum_dtype(),
+        )
+        return cost, grads
+    if cfg.shared_negatives:
         neg_ids = obj.sample_shared_negative_entities(
             key, num_entities or params.num_entities,
             cfg.num_random_entities,

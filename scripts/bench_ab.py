@@ -54,6 +54,7 @@ cfg = TrainConfig(
     uniform_feature_weights=variant.get("uniform", True),
     window_sum_dtype=variant.get("window_sum_dtype", "float32"),
     shared_negatives=variant.get("shared", False),
+    negative_pool_size=variant.get("pool", 0),
 )
 
 key = jax.random.PRNGKey(0)
@@ -115,6 +116,10 @@ VARIANTS = {
         "shared": True, "window_sum_dtype": "bfloat16",
         "accum_dtype": "bfloat16",
     },
+    "pool1024_wsum": {"pool": 1024, "window_sum_dtype": "bfloat16"},
+    "pool2048_wsum": {"pool": 2048, "window_sum_dtype": "bfloat16"},
+    "pool6400_wsum": {"pool": 6400, "window_sum_dtype": "bfloat16"},
+    "pool12800_wsum": {"pool": 12800, "window_sum_dtype": "bfloat16"},
 }
 
 

@@ -400,3 +400,134 @@ class TestSharedNegatives:
         with pytest.raises(ValueError):
             step2(params, Optimizer(sparse_cfg).init(params), batch,
                   jax.random.PRNGKey(0))
+
+
+class TestPooledNegatives:
+    """Rolled-pool negatives: bit-identical loss to per-instance ids built
+    from the rolled pool slots, and hand-VJP gradients matching autodiff."""
+
+    def _setup(self, rng, P=4, k=3, B=8):
+        params = make_params(rng, num_words=9, num_entities=6, d_w=4, d_e=3)
+        W = 3
+        batch = obj.TextEntityBatch(
+            features=jnp.asarray(rng.randint(0, 9, (B, W)), jnp.int32),
+            feature_weights=jnp.asarray(rng.rand(B, W) + 0.5),
+            labels=jnp.asarray(rng.randint(0, 6, (B,)), jnp.int32),
+            weights=jnp.asarray(rng.rand(B) + 0.5),
+        )
+        # Include a duplicate pool id to exercise accumulate semantics.
+        pool_ids = jnp.asarray(rng.randint(0, 6, (P,)), jnp.int32)
+        pool_ids = pool_ids.at[P - 1].set(pool_ids[0])
+        rolled = obj.rolled_pool_negative_ids(pool_ids, B, k)
+        tiled = jnp.concatenate([batch.labels[:, None], rolled], axis=1)
+        return params, batch, pool_ids, tiled, k
+
+    @pytest.mark.parametrize(
+        "desc",
+        [
+            ModelDesc(word_repr_size=4, entity_repr_size=3),
+            ModelDesc(
+                word_repr_size=4, entity_repr_size=3,
+                nonlinearity=Nonlinearity.HARD_TANH,
+                batch_normalization=True,
+            ),
+            ModelDesc(
+                word_repr_size=4, entity_repr_size=3,
+                l2_normalize_phrase_reprs=True,
+                bias_negative_samples=True,
+            ),
+        ],
+    )
+    def test_matches_tiled_per_instance(self, rng, desc):
+        params, batch, pool_ids, tiled, k = self._setup(rng)
+
+        cost_p, probs_p, grads = obj.text_entity_cost_and_grads_pooled(
+            params, batch, pool_ids, k, desc
+        )
+        cost_ref, probs_ref = obj.text_entity_cost(params, batch, tiled, desc)
+        np.testing.assert_allclose(float(cost_p), float(cost_ref), rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(probs_p), np.asarray(probs_ref), rtol=1e-12
+        )
+
+        def cost_fn(p):
+            c, _ = obj.text_entity_cost(p, batch, tiled, desc)
+            return c
+
+        g = jax.grad(cost_fn)(params)
+
+        def scatter(descs, shape):
+            out = np.zeros(shape)
+            for d in descs:
+                gr = np.asarray(d.grad)
+                idx = np.asarray(d.indices)
+                w = (
+                    np.asarray(d.weights)
+                    if d.weights is not None
+                    else np.ones_like(idx, dtype=np.float64)
+                )
+                for i in range(idx.shape[0]):
+                    for j in range(idx.shape[1]):
+                        out[idx[i, j]] += w[i, j] * gr[i]
+            return out
+
+        np.testing.assert_allclose(
+            scatter(grads.word, params.word_reprs.shape),
+            -np.asarray(g.word_reprs), rtol=1e-9, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            scatter(grads.entity, params.entity_reprs.shape),
+            -np.asarray(g.entity_reprs), rtol=1e-9, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(grads.transform_w), -np.asarray(g.transform_w),
+            rtol=1e-9, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(grads.transform_b), -np.asarray(g.transform_b),
+            rtol=1e-9, atol=1e-12,
+        )
+
+    def test_validation_errors(self, rng):
+        params, batch, pool_ids, _, k = self._setup(rng)
+        with pytest.raises(ValueError, match="divisible"):
+            obj.text_entity_cost_and_grads_pooled(
+                params, batch, pool_ids[:3], k, ModelDesc(4, 3)
+            )
+        with pytest.raises(ValueError, match="l2_normalize"):
+            obj.text_entity_cost_and_grads_pooled(
+                params, batch, pool_ids, k,
+                ModelDesc(4, 3, l2_normalize_entity_reprs=True),
+            )
+
+    def test_train_step_dispatch(self, rng):
+        import dataclasses
+
+        from cunvsm_tpu.config import (
+            AdamConfig, AdamMode, TrainConfig, UpdateMethod,
+        )
+        from cunvsm_tpu.optim.updates import Optimizer
+        from cunvsm_tpu.train.step import make_train_step
+
+        desc = ModelDesc(
+            word_repr_size=4, entity_repr_size=3,
+            nonlinearity=Nonlinearity.HARD_TANH, batch_normalization=True,
+        )
+        cfg = TrainConfig(
+            batch_size=8, window_size=3, num_random_entities=3,
+            update_method=UpdateMethod.ADAM,
+            adam=AdamConfig(mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
+            learning_rate=0.1, regularization_lambda=0.01,
+            negative_pool_size=4,
+        )
+        params, batch, _, _, _ = self._setup(rng)
+        opt = Optimizer(cfg)
+        step = make_train_step(desc, cfg, jit=False)
+        p, o, cost = step(params, opt.init(params), batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(cost))
+
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            bad = dataclasses.replace(cfg, shared_negatives=True)
+            make_train_step(desc, bad, jit=False)(
+                params, opt.init(params), batch, jax.random.PRNGKey(0)
+            )

@@ -313,3 +313,29 @@ def test_sharded_step_shared_negatives_matches_single_device():
         np.asarray(p_out.word_reprs), np.asarray(p_ref.word_reprs),
         rtol=1e-5, atol=1e-7,
     )
+
+
+def test_sharded_step_pooled_negatives_matches_single_device():
+    """Rolled-pool negatives through the mesh: the residue-major reshape of
+    the data-sharded batch is GSPMD's to partition; verify numerics only."""
+    import dataclasses
+
+    desc, cfg, params, opt_state = make_setup()
+    cfg = dataclasses.replace(cfg, negative_pool_size=8)
+    batch = make_batch()
+    key = jax.random.PRNGKey(13)
+
+    single = make_train_step(desc, cfg, jit=False)
+    p_ref, _, cost_ref = single(params, opt_state, batch, key)
+
+    mesh = make_mesh(2, 4)
+    step, p_sh, o_sh = make_sharded_train_step(
+        desc, cfg, mesh, params, opt_state, batch
+    )
+    p_out, _, cost = step(p_sh, o_sh, batch, key)
+
+    np.testing.assert_allclose(float(cost), float(cost_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p_out.entity_reprs), np.asarray(p_ref.entity_reprs),
+        rtol=1e-5, atol=1e-7,
+    )
