@@ -38,6 +38,12 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=51200)
     p.add_argument("--stopwords", default=None)
     p.add_argument("--platform", default=None)
+    p.add_argument("--stream_dtype", default="float32",
+                   choices=("float32", "bfloat16"))
+    p.add_argument("--window_sum_dtype", default="float32",
+                   choices=("float32", "bfloat16"))
+    p.add_argument("--negative_pool_size", type=int, default=0)
+    p.add_argument("--seed", type=int, default=1)
     args = p.parse_args(argv)
     logging.basicConfig(level="INFO", format="%(asctime)s %(message)s")
 
@@ -116,7 +122,10 @@ def main(argv=None):
         regularization_lambda=1e-2,
         update_method=UpdateMethod.ADAM,
         adam=AdamConfig(mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
-        seed=1,
+        seed=args.seed,
+        stream_dtype=args.stream_dtype,
+        window_sum_dtype=args.window_sum_dtype,
+        negative_pool_size=args.negative_pool_size,
     )
     prefix = os.path.join(args.workdir, "nvsm")
 
