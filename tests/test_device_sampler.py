@@ -216,3 +216,39 @@ class TestEpochExact:
         np.testing.assert_array_equal(
             np.asarray(batch.labels), np.asarray(perm)[start:start + b]
         )
+
+
+def test_trainer_on_device_sampling_pooled_negatives(tmp_path):
+    """The rolled-pool mode composes with the fully on-device path: the
+    corpus lives in HBM, batches and the negative pool are sampled inside
+    the compiled step."""
+    import dataclasses
+
+    from cunvsm_tpu.train.trainer import train_model
+
+    c = corpus()
+    desc = ModelDesc(word_repr_size=8, entity_repr_size=6)
+    cfg = TrainConfig(
+        num_epochs=3, batch_size=32, window_size=3, num_random_entities=2,
+        learning_rate=0.05, negative_pool_size=8,
+    )
+    r = train_model(
+        desc, cfg, c, output_prefix=str(tmp_path / "m"),
+        on_device_sampling=True, steps_per_call=2,
+    )
+    assert all(np.isfinite(x) for x in r.epoch_costs)
+    assert r.epoch_costs[-1] < r.epoch_costs[0]
+
+
+def test_trainer_host_path_pooled_negatives(tmp_path):
+    from cunvsm_tpu.train.trainer import train_model
+
+    c = corpus()
+    desc = ModelDesc(word_repr_size=8, entity_repr_size=6)
+    cfg = TrainConfig(
+        num_epochs=3, batch_size=8, window_size=3, num_random_entities=2,
+        learning_rate=0.05, negative_pool_size=8,
+    )
+    r = train_model(desc, cfg, c, output_prefix=str(tmp_path / "m"))
+    assert all(np.isfinite(x) for x in r.epoch_costs)
+    assert r.epoch_costs[-1] < r.epoch_costs[0]
