@@ -122,8 +122,11 @@ def main(argv=None) -> int:
     histogram = collections.Counter(
         topic for article in articles for topic in article.topics
     )
+    # Output contract with the reference tooling: the top-K set is the last
+    # K of an ascending count-sort, so boundary TIES resolve the same way
+    # (most_common would keep the other side of a tie).
     top_topics = frozenset(
-        topic for topic, _ in histogram.most_common(args.top_k_topics)
+        sorted(histogram, key=histogram.__getitem__)[-args.top_k_topics:]
     )
     logging.info("Top topics: %s", sorted(top_topics))
 

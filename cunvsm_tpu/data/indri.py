@@ -222,16 +222,19 @@ def _decode_docid_key(key: bytes) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _parse_manifest(path: str) -> Dict[str, str]:
-    """Flatten the <parameters> XML into dotted keys."""
+def _parse_manifest(path: str) -> Dict[str, List[str]]:
+    """Flatten the <parameters> XML into dotted keys.
+
+    Repeated children (e.g. every <stopper><word>, or multiple
+    <indexes><index> entries) accumulate as lists instead of last-wins."""
     import xml.etree.ElementTree as ET
 
-    out: Dict[str, str] = {}
+    out: Dict[str, List[str]] = {}
 
     def walk(node, prefix):
         children = list(node)
         if not children:
-            out[prefix] = (node.text or "").strip()
+            out.setdefault(prefix, []).append((node.text or "").strip())
             return
         for child in children:
             key = f"{prefix}.{child.tag}" if prefix else child.tag
@@ -255,14 +258,17 @@ class IndriIndex:
         if not os.path.isfile(manifest):
             raise FileNotFoundError(f"not an Indri repository: {repository_path}")
         repo = _parse_manifest(manifest)
-        indexes = [v for k, v in repo.items() if k.startswith("indexes.")]
+        indexes = [
+            v for k, vs in repo.items() if k.startswith("indexes.")
+            for v in vs
+        ]
         if len(indexes) != 1:
             raise NotImplementedError(
                 f"only single-index repositories are supported, got {indexes}"
             )
         self.index_dir = os.path.join(repository_path, "index", indexes[0])
         info = _parse_manifest(os.path.join(self.index_dir, "manifest"))
-        corpus = {k.split(".", 1)[1]: v for k, v in info.items()
+        corpus = {k.split(".", 1)[1]: v[-1] for k, v in info.items()
                   if k.startswith("corpus.")}
         self.document_base = int(corpus.get("document-base", 1))
         self.maximum_document = int(corpus["maximum-document"])
@@ -271,7 +277,8 @@ class IndriIndex:
         self.unique_terms = int(corpus["unique-terms"])
         self.frequent_count = int(corpus.get("frequent-terms", 0))
         self.stopwords = frozenset(
-            v for k, v in repo.items() if k.startswith("stopper.")
+            v for k, vs in repo.items() if k.startswith("stopper.")
+            for v in vs
         )
 
         self.document_lengths = np.fromfile(
@@ -332,16 +339,6 @@ class IndriIndex:
         term_count = int(values[first])
         # Layout: termCount, fieldCount, then the positional term ids.
         return values[first + 2 : first + 2 + term_count].astype(np.int32)
-
-    def all_term_lists(self) -> List[np.ndarray]:
-        """Term lists of every document, in internal document-id order."""
-        values, starts = self._decode_direct()
-        firsts = np.searchsorted(starts, self._compact_offsets)
-        counts = values[firsts]
-        return [
-            values[f + 2 : f + 2 + c].astype(np.int32)
-            for f, c in zip(firsts.tolist(), counts.tolist())
-        ]
 
     # -- vocabulary ----------------------------------------------------------
 

@@ -36,52 +36,62 @@ def load_library() -> Optional[ctypes.CDLL]:
         return _lib
     for path in _LIB_PATHS:
         if os.path.exists(path):
-            lib = ctypes.CDLL(os.path.abspath(path))
-            lib.corpus_build.restype = ctypes.c_void_p
-            lib.corpus_build.argtypes = [
-                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
-                ctypes.c_int, ctypes.c_long, ctypes.c_long, ctypes.c_double,
-                ctypes.c_int, ctypes.c_int, ctypes.c_long,
-            ]
-            lib.indri_build.restype = ctypes.c_void_p
-            lib.indri_build.argtypes = [
-                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
-                ctypes.c_int, ctypes.c_long, ctypes.c_long, ctypes.c_double,
-                ctypes.c_int, ctypes.c_int, ctypes.c_long,
-            ]
-            lib.corpus_num_index_doc_ids.restype = ctypes.c_long
-            lib.corpus_num_index_doc_ids.argtypes = [ctypes.c_void_p]
-            lib.corpus_copy_index_doc_ids.restype = None
-            lib.corpus_copy_index_doc_ids.argtypes = [
-                ctypes.c_void_p, ctypes.c_void_p
-            ]
-            lib.corpus_error.restype = ctypes.c_char_p
-            lib.corpus_error.argtypes = [ctypes.c_void_p]
-            for name in (
-                "corpus_num_docs", "corpus_num_tokens", "corpus_vocab_size",
-                "corpus_total_terms", "corpus_vocab_bytes",
-                "corpus_docnos_bytes",
-            ):
-                fn = getattr(lib, name)
-                fn.restype = ctypes.c_long
-                fn.argtypes = [ctypes.c_void_p]
-            for name, ptr_t in (
-                ("corpus_copy_tokens", ctypes.c_void_p),
-                ("corpus_copy_offsets", ctypes.c_void_p),
-                ("corpus_copy_index_lengths", ctypes.c_void_p),
-                ("corpus_copy_term_freq", ctypes.c_void_p),
-                ("corpus_copy_index_term_ids", ctypes.c_void_p),
-                ("corpus_copy_vocab", ctypes.c_char_p),
-                ("corpus_copy_docnos", ctypes.c_char_p),
-            ):
-                fn = getattr(lib, name)
-                fn.restype = None
-                fn.argtypes = [ctypes.c_void_p, ptr_t]
-            lib.corpus_free.restype = None
-            lib.corpus_free.argtypes = [ctypes.c_void_p]
+            try:
+                lib = _bind(ctypes.CDLL(os.path.abspath(path)))
+            except (OSError, AttributeError):
+                # A stale library built before the full symbol surface
+                # existed (e.g. pre-indri_build): fall back to the Python
+                # pipeline rather than breaking every corpus load.
+                continue
             _lib = lib
             return lib
     return None
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    lib.corpus_build.restype = ctypes.c_void_p
+    lib.corpus_build.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_long, ctypes.c_long, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int, ctypes.c_long,
+    ]
+    lib.indri_build.restype = ctypes.c_void_p
+    lib.indri_build.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_long, ctypes.c_long, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int, ctypes.c_long,
+    ]
+    lib.corpus_num_index_doc_ids.restype = ctypes.c_long
+    lib.corpus_num_index_doc_ids.argtypes = [ctypes.c_void_p]
+    lib.corpus_copy_index_doc_ids.restype = None
+    lib.corpus_copy_index_doc_ids.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p
+    ]
+    lib.corpus_error.restype = ctypes.c_char_p
+    lib.corpus_error.argtypes = [ctypes.c_void_p]
+    for name in (
+        "corpus_num_docs", "corpus_num_tokens", "corpus_vocab_size",
+        "corpus_total_terms", "corpus_vocab_bytes",
+        "corpus_docnos_bytes",
+    ):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_long
+        fn.argtypes = [ctypes.c_void_p]
+    for name, ptr_t in (
+        ("corpus_copy_tokens", ctypes.c_void_p),
+        ("corpus_copy_offsets", ctypes.c_void_p),
+        ("corpus_copy_index_lengths", ctypes.c_void_p),
+        ("corpus_copy_term_freq", ctypes.c_void_p),
+        ("corpus_copy_index_term_ids", ctypes.c_void_p),
+        ("corpus_copy_vocab", ctypes.c_char_p),
+        ("corpus_copy_docnos", ctypes.c_char_p),
+    ):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [ctypes.c_void_p, ptr_t]
+    lib.corpus_free.restype = None
+    lib.corpus_free.argtypes = [ctypes.c_void_p]
+    return lib
 
 
 def available() -> bool:

@@ -26,26 +26,37 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from cunvsm_tpu.parallel.mesh import MODEL_AXIS
 
 
-def make_sharded_scorer(mesh: Mesh, entity_norm: jax.Array, top_k: int):
+def make_sharded_scorer(
+    mesh: Mesh, entity_norm: jax.Array, top_k: int, num_docs: int = None
+):
     """Build a jit'd scorer over a row-sharded normalized document matrix.
 
     Returns (scorer, sharded_entity_matrix); scorer(projected_queries) ->
     (scores [Q, k], doc_indices [Q, k]) with global document indices,
     replicated on every device.
+
+    ``num_docs``: the true (unpadded) document count.  Must be passed when
+    ``entity_norm`` was already row-padded by a previous call — otherwise
+    the padding mask would treat the zero pad rows as real documents.
     """
-    num_docs = entity_norm.shape[0]
+    if num_docs is None:
+        num_docs = entity_norm.shape[0]
     k = min(top_k, num_docs)
     n_shards = mesh.shape[MODEL_AXIS]
 
     # Row-pad so the document axis divides the model axis; padded rows are
-    # masked out of the merge by their out-of-range global ids.
+    # masked out of the merge by their out-of-range global ids.  The input
+    # may already be padded (a cached sharded copy from a previous call).
     padded = ((num_docs + n_shards - 1) // n_shards) * n_shards
-    if padded != num_docs:
+    assert entity_norm.shape[0] in (num_docs, padded), (
+        entity_norm.shape, num_docs, padded
+    )
+    if entity_norm.shape[0] != padded:
         entity_norm = jnp.concatenate(
             [
                 entity_norm,
                 jnp.zeros(
-                    (padded - num_docs, entity_norm.shape[1]),
+                    (padded - entity_norm.shape[0], entity_norm.shape[1]),
                     entity_norm.dtype,
                 ),
             ]

@@ -195,8 +195,11 @@ class QueryEngine:
         from cunvsm_tpu.parallel.query import make_sharded_scorer
 
         if k not in self._sharded_scorers:
+            # self._entity_norm may already be the row-padded sharded copy
+            # from a previous k; pass the true doc count so pad rows stay
+            # masked out of the merge.
             scorer, sharded = make_sharded_scorer(
-                self.mesh, self._entity_norm, k
+                self.mesh, self._entity_norm, k, num_docs=len(self.docnos)
             )
             # Keep one sharded copy; later k values rebuild only the jit.
             self._entity_norm = sharded

@@ -310,9 +310,19 @@ void* indri_build(const char* repository_path, const char* doclist_path,
     }
 
     // -- vocabulary (data_indri.cpp:735-869) --------------------------------
+    // Lowercase to match the Python oracle (corpus.py lowercases blacklist
+    // entries; index terms are already lowercase).
     auto blacklist_lines = load_lines(blacklist_path);
-    std::unordered_set<std::string> blacklist(blacklist_lines.begin(),
-                                              blacklist_lines.end());
+    std::unordered_set<std::string> blacklist;
+    for (auto& line : blacklist_lines) {
+        std::string lower;
+        lower.reserve(line.size());
+        for (char c : line) {
+            lower.push_back(static_cast<char>(
+                std::tolower(static_cast<unsigned char>(c))));
+        }
+        blacklist.insert(lower);
+    }
     std::vector<TermEntry> vocab;
     parse_term_tree(read_file(index_dir + "/frequentString", &c->error), 0,
                     &vocab);

@@ -181,3 +181,24 @@ class TestNativeIndri:
         np.testing.assert_array_equal(got.tokens, want.tokens)
         np.testing.assert_array_equal(got.vocab.term_freq,
                                       want.vocab.term_freq)
+
+    def test_term_blacklist_case_insensitive(self, tmp_path):
+        """Blacklist entries are lowercased on both paths (the Python
+        pipeline's contract); a mixed-case entry must still drop the term."""
+        from cunvsm_tpu.data.indri import build_corpus_from_indri
+
+        blacklist = tmp_path / "blacklist.txt"
+        blacklist.write_text("TIME\nState\n")
+        cfg = DataConfig(
+            corpus_path=BROWN, max_vocabulary_size=0,
+            min_document_frequency=0, max_document_frequency=0,
+            term_blacklist=str(blacklist),
+        )
+        want = build_corpus_from_indri(
+            BROWN, cfg, 16, term_blacklist=frozenset({"time", "state"})
+        )
+        got = native.build_corpus_native_indri(BROWN, cfg, 16)
+        assert "time" not in got.vocab.term_to_id
+        assert "state" not in got.vocab.term_to_id
+        assert got.vocab.terms == want.vocab.terms
+        np.testing.assert_array_equal(got.tokens, want.tokens)

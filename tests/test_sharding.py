@@ -339,3 +339,37 @@ def test_sharded_step_pooled_negatives_matches_single_device():
         np.asarray(p_out.entity_reprs), np.asarray(p_ref.entity_reprs),
         rtol=1e-5, atol=1e-7,
     )
+
+
+def test_query_engine_mesh_second_topk_masks_padding():
+    """Regression: a second rank() with a different top_k rebuilds the
+    sharded scorer over the already-padded cached matrix; the pad rows must
+    stay masked (they used to be treated as real documents and could reach
+    the docnos lookup)."""
+    from cunvsm_tpu.models.params import ModelParams
+    from cunvsm_tpu.query.engine import QueryEngine
+
+    rng = np.random.RandomState(6)
+    num_words, num_docs, d_w, d_e = 40, 61, 8, 8  # 61 % 8 != 0 -> padding
+    params = ModelParams(
+        word_reprs=jnp.asarray(rng.randn(num_words, d_w), jnp.float32),
+        # Strongly negative embeddings make every cosine negative, so a
+        # zero pad row (score 0.0) would outrank every real document.
+        entity_reprs=jnp.asarray(rng.randn(num_docs, d_e), jnp.float32),
+        transform_w=jnp.asarray(rng.randn(d_w, d_e), jnp.float32),
+        transform_b=jnp.asarray(rng.randn(d_e), jnp.float32),
+    )
+    terms = [f"t{i}" for i in range(num_words)]
+    docnos = [f"d{i}" for i in range(num_docs)]
+    queries = {str(q): [f"t{t}" for t in rng.randint(0, num_words, 3)]
+               for q in range(4)}
+
+    dense = QueryEngine(params, terms, docnos, nonlinearity=None)
+    sharded = QueryEngine(
+        params, terms, docnos, nonlinearity=None, mesh=make_mesh(1, 8)
+    )
+    for top_k in (50, 61, 10):
+        run_a = dense.rank(queries, top_k=top_k)
+        run_b = sharded.rank(queries, top_k=top_k)
+        for qid in run_a:
+            assert [d for d, _ in run_a[qid]] == [d for d, _ in run_b[qid]]
