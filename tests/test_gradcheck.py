@@ -251,3 +251,39 @@ def test_shared_negatives_gradients_through_training(seed, desc):
         )
         params, opt_state, cost = step(params, opt_state, batch, skey)
         assert np.isfinite(float(cost))
+
+
+@pytest.mark.parametrize(
+    "kind",
+    [
+        ObjectiveKind.TEXT_ENTITY_ENTITY_ENTITY,
+        ObjectiveKind.TEXT_ENTITY_TERM_TERM,
+    ],
+)
+def test_composite_gradients_with_pooled_negatives(kind):
+    """Mix 'n Match composites with the rolled-pool text-entity constituent:
+    the merged ascent gradients must match finite differences of the
+    weight-normalized composite objective."""
+    import dataclasses
+
+    desc = ModelDesc(nonlinearity=Nonlinearity.TANH)
+    cfg = dataclasses.replace(
+        _base_cfg(),
+        negative_pool_size=4,
+        text_entity_weight=0.5,
+        entity_entity_weight=(
+            0.5 if kind == ObjectiveKind.TEXT_ENTITY_ENTITY_ENTITY else 0.0
+        ),
+        term_term_weight=(
+            0.5 if kind == ObjectiveKind.TEXT_ENTITY_TERM_TERM else 0.0
+        ),
+    )
+    num_objects = (
+        NUM_ENTITIES
+        if kind == ObjectiveKind.TEXT_ENTITY_ENTITY_ENTITY
+        else NUM_WORDS
+    )
+    batch = (make_te_batch(4), make_sim_batch(4, num_objects))
+    check_gradients(
+        kind, make_params(4), batch, jax.random.PRNGKey(4), desc, cfg
+    )

@@ -225,3 +225,14 @@ def test_metadata_carries_indri_document_ids():
     assert [(o.model_object_id, o.index_object_id) for o in meta.object] == [
         (0, 330), (1, 251),
     ]
+
+
+def test_vendored_stoplist_matches_index_stopper():
+    """The vendored Lemur stoplist must equal the stopper block recorded in
+    the checked-in Brown index manifest (the same stoplist.dft the
+    reference's build_index downloads, functions.sh:344-350)."""
+    from cunvsm_tpu.data.indri import IndriIndex
+    from cunvsm_tpu.data.text import lemur_stopwords
+
+    idx = IndriIndex(BROWN)
+    assert lemur_stopwords() == idx.stopwords
