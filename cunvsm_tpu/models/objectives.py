@@ -540,18 +540,23 @@ def text_entity_cost_and_grads_shared(
 
     word_table = params.word_reprs
     entity_table = params.entity_reprs
-    if (
+    cast = (
         stream_dtype is not None
         and jnp.dtype(stream_dtype) != word_table.dtype
-    ):
+    )
+    if cast:
         word_table = word_table.astype(stream_dtype)
-        entity_table = entity_table.astype(stream_dtype)
 
     phrase_pre = gather_phrase_reprs(
         word_table, batch.features, feature_weights, window_sum_dtype
     )
+    # Gather from the float32 master, cast only the B + k gathered rows
+    # (see the pooled variant).
     pos = jnp.take(entity_table, batch.labels, axis=0, mode="clip")  # [B, d]
     negs = jnp.take(entity_table, neg_ids, axis=0, mode="clip")  # [k, d]
+    if cast:
+        pos = pos.astype(stream_dtype)
+        negs = negs.astype(stream_dtype)
     nce_w = nce_instance_weights(batch.weights, num_negative, desc)
 
     acc_dtype = (
@@ -710,18 +715,25 @@ def text_entity_cost_and_grads_pooled(
 
     word_table = params.word_reprs
     entity_table = params.entity_reprs
-    if (
+    cast = (
         stream_dtype is not None
         and jnp.dtype(stream_dtype) != word_table.dtype
-    ):
+    )
+    if cast:
         word_table = word_table.astype(stream_dtype)
-        entity_table = entity_table.astype(stream_dtype)
 
     phrase_pre = gather_phrase_reprs(
         word_table, batch.features, feature_weights, window_sum_dtype
     )
+    # Gather from the float32 master and cast only the gathered rows: the
+    # pooled mode reads just B + P entity rows, so a full-table bf16 copy
+    # (the right choice when B*(k+1) rows are gathered) would convert 5x
+    # more bytes than are ever read.
     pos = jnp.take(entity_table, batch.labels, axis=0, mode="clip")  # [B, d]
     pool = jnp.take(entity_table, pool_ids, axis=0, mode="clip")  # [P, d]
+    if cast:
+        pos = pos.astype(stream_dtype)
+        pool = pool.astype(stream_dtype)
     # Window r holds pool rows (r+j) % P for j in [0, k): a tiny [P*k]-row
     # gather from the pool.
     win_slots = (
