@@ -113,7 +113,9 @@ def train_model(
     (the VLOG(1) batch logging, main.cu:445-451).  ``steps_per_call`` > 1
     chains that many steps inside one compiled scan (dispatch amortization;
     incompatible with check_gradients and intra-group dump_every
-    granularity).  ``mesh`` (a jax.sharding.Mesh with ("data", "model")
+    granularity; under on-device sampling each epoch runs
+    floor(steps_per_epoch / K) * K steps, so choose K dividing the epoch's
+    step count to train every full batch).  ``mesh`` (a jax.sharding.Mesh with ("data", "model")
     axes) trains multi-chip: the entity table and its optimizer state shard
     over the model axis and batches over data (parallel/mesh.py); requires
     batch_size divisible by the data axis and the entity count by the model
