@@ -124,7 +124,8 @@ def main(argv=None) -> int:
     )
     # Output contract with the reference tooling: the top-K set is the last
     # K of an ascending count-sort, so boundary TIES resolve the same way
-    # (most_common would keep the other side of a tie).
+    # (most_common would keep the other side of a tie).  Note [-0:] selects
+    # every topic — the reference's slicing behaves identically at K=0.
     top_topics = frozenset(
         sorted(histogram, key=histogram.__getitem__)[-args.top_k_topics:]
     )

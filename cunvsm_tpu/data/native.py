@@ -28,23 +28,35 @@ _LIB_PATHS = [
 ]
 
 _lib = None
+_lib_failed = False
 
 
 def load_library() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _lib_failed
     if _lib is not None:
         return _lib
+    if _lib_failed:
+        return None
     for path in _LIB_PATHS:
         if os.path.exists(path):
             try:
                 lib = _bind(ctypes.CDLL(os.path.abspath(path)))
-            except (OSError, AttributeError):
-                # A stale library built before the full symbol surface
-                # existed (e.g. pre-indri_build): fall back to the Python
-                # pipeline rather than breaking every corpus load.
+            except (OSError, AttributeError) as e:
+                # A stale/broken library (built before the full symbol
+                # surface existed, or with a missing dependency): fall back
+                # to the Python pipeline rather than breaking every corpus
+                # load — but say so, and don't retry on every call.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "native library %s unusable (%s); falling back to the "
+                    "Python ingestion pipeline — rebuild with "
+                    "`make -C native`", path, e,
+                )
                 continue
             _lib = lib
             return lib
+    _lib_failed = True
     return None
 
 

@@ -48,9 +48,12 @@ def make_sharded_scorer(
     # masked out of the merge by their out-of-range global ids.  The input
     # may already be padded (a cached sharded copy from a previous call).
     padded = ((num_docs + n_shards - 1) // n_shards) * n_shards
-    assert entity_norm.shape[0] in (num_docs, padded), (
-        entity_norm.shape, num_docs, padded
-    )
+    if entity_norm.shape[0] not in (num_docs, padded):
+        raise ValueError(
+            f"entity matrix has {entity_norm.shape[0]} rows; expected "
+            f"{num_docs} (unpadded) or {padded} (padded for {n_shards} "
+            "shards)"
+        )
     if entity_norm.shape[0] != padded:
         entity_norm = jnp.concatenate(
             [

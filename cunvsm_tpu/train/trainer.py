@@ -114,8 +114,10 @@ def train_model(
     chains that many steps inside one compiled scan (dispatch amortization;
     incompatible with check_gradients and intra-group dump_every
     granularity; under on-device sampling each epoch runs
-    floor(steps_per_epoch / K) * K steps, so choose K dividing the epoch's
-    step count to train every full batch).  ``mesh`` (a jax.sharding.Mesh with ("data", "model")
+    floor(steps_per_epoch / K) * K steps — but at least one K-step call,
+    with the pointer permutation wrapping when K exceeds the epoch — so
+    choose K dividing the epoch's step count to train every full batch
+    exactly once).  ``mesh`` (a jax.sharding.Mesh with ("data", "model")
     axes) trains multi-chip: the entity table and its optimizer state shard
     over the model axis and batches over data (parallel/mesh.py); requires
     batch_size divisible by the data axis and the entity count by the model

@@ -311,7 +311,10 @@ void* indri_build(const char* repository_path, const char* doclist_path,
 
     // -- vocabulary (data_indri.cpp:735-869) --------------------------------
     // Lowercase to match the Python oracle (corpus.py lowercases blacklist
-    // entries; index terms are already lowercase).
+    // entries; index terms are already lowercase).  ASCII-only: multi-byte
+    // UTF-8 code points pass through unchanged (Python's str.lower() would
+    // also fold non-ASCII letters, but Indri's own normalizer leaves them
+    // byte-raw in the index, so ASCII folding is the case that matters).
     auto blacklist_lines = load_lines(blacklist_path);
     std::unordered_set<std::string> blacklist;
     for (auto& line : blacklist_lines) {
