@@ -30,4 +30,4 @@ from cunvsm_tpu.train.step import (
     objective_kind_from_config,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
