@@ -16,8 +16,9 @@ instance still scores against exactly 10 uniform negatives with the
 reference's bias correction (bit-identical per-example loss, tested), the
 draws are structured so the negative dots/gradients run on the MXU
 (every seed of an 8-seed Cranfield run lands inside the per-instance
-sampler's seed spread; see the quality table in PERFORMANCE.md).  The reference-exact per-instance sampling path
-(negative_pool_size=0) measures ~40 ms/step vs ~23.5 ms here.
+sampler's seed spread; see the quality table in PERFORMANCE.md).  The
+reference-exact per-instance sampling path (negative_pool_size=0)
+measures ~40 ms/step vs ~21 ms here.
 
 Measurement methodology: K steps are chained inside one jit'd lax.scan and
 the timing barrier is a device-to-host fetch of the final costs — on this
