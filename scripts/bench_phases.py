@@ -1,5 +1,13 @@
 """Phase-cost ablation of the training step on real TPU.
 
+DEPRECATED as a measurement method: program-prefix ablations repeatedly
+contradicted whole-program A/Bs on this toolchain (fusion and scheduling
+are not additive across prefixes — see PERFORMANCE.md's methodology
+caveat).  Use ``jax.profiler.trace`` on the full step instead — it works
+through the remote tunnel and gives exact per-op device times (the
+"Step op breakdown" tables in PERFORMANCE.md were produced that way).
+Kept for the prefix-compilation smoke value only.
+
 Times progressively larger prefixes of the canonical NVSM step so phase
 costs emerge by subtraction (each program scans 20 iterations with a D2H
 barrier, like bench.py):
