@@ -169,7 +169,7 @@ class NVSM:
         run = self._engine.rank({"q": terms}, top_k=top_k)
         if "q" not in run:
             return None
-        docno_to_model = {d: i for i, d in enumerate(self._docnos)}
+        docno_to_model = self._docno_to_model_map()
         return [
             (self.object_mapping[docno_to_model[d]], s)
             for d, s in run["q"]
@@ -191,17 +191,31 @@ class NVSM:
         scored = self._engine.score_documents(terms, docnos)
         if scored is None:
             return None
-        docno_to_model = {d: i for i, d in enumerate(self._docnos)}
+        docno_to_model = self._docno_to_model_map()
         return [
             (self.object_mapping[docno_to_model[d]], s) for d, s in scored
         ]
+
+    def _term_to_model_map(self) -> Dict[str, int]:
+        if not hasattr(self, "_term_to_model_cache"):
+            self._term_to_model_cache = {
+                t: i for i, t in enumerate(self._terms) if t
+            }
+        return self._term_to_model_cache
+
+    def _docno_to_model_map(self) -> Dict[str, int]:
+        if not hasattr(self, "_docno_to_model_cache"):
+            self._docno_to_model_cache = {
+                d: i for i, d in enumerate(self._docnos)
+            }
+        return self._docno_to_model_cache
 
     def related_terms(self, index_term_id: int, k: int = 10):
         if index_term_id not in self.term_mapping:
             return None
         term = self._terms[self.term_mapping[index_term_id]]
         out = self._engine.related_terms(term, k)
-        term_to_model = {t: i for i, t in enumerate(self._terms) if t}
+        term_to_model = self._term_to_model_map()
         return [
             (self.inv_term_mapping[term_to_model[t]], s) for t, s in out
         ]

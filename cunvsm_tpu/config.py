@@ -146,6 +146,17 @@ class TrainConfig:
     # normalization.
     negative_pool_size: int = 0
 
+    # Slot stride of the rolled-pool windows: instance with residue r
+    # scores against pool slots (r + j*stride) % P for j in [0, k).  The
+    # default 1 gives consecutive windows (adjacent residues overlap k-1
+    # slots); a stride S with gcd(S, P) = 1 and S >= k spreads each pool
+    # row's k consuming windows across distant residues, decorrelating the
+    # per-step negative-gradient noise between instances at zero cost (the
+    # fold stays k rolls, by j*stride instead of j).  The per-example loss
+    # distribution is unchanged: every instance still scores k distinct
+    # iid-uniform pool slots.
+    negative_pool_stride: int = 1
+
     # Static promise that every batch's feature_weights are all ones (the
     # UNIFORM feature-weighting strategy, the reference's default and the
     # canonical NVSM/LSE configuration, functions.sh:369-400).  When set,

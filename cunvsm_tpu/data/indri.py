@@ -244,30 +244,12 @@ def _parse_manifest(path: str) -> Dict[str, List[str]]:
     return out
 
 
-class IndriIndex:
-    """Read-only view of an Indri DiskIndex repository.
+class _DiskIndex:
+    """One on-disk index (``index/N``) of a repository."""
 
-    Provides the subset of the lemur API the reference's IndriSource needs
-    (data_indri.cpp:16-107): corpus statistics, document lengths, per-
-    document term lists, the vocabulary iterator, and docno lookups.
-    """
-
-    def __init__(self, repository_path: str):
-        self.path = repository_path
-        manifest = os.path.join(repository_path, "manifest")
-        if not os.path.isfile(manifest):
-            raise FileNotFoundError(f"not an Indri repository: {repository_path}")
-        repo = _parse_manifest(manifest)
-        indexes = [
-            v for k, vs in repo.items() if k.startswith("indexes.")
-            for v in vs
-        ]
-        if len(indexes) != 1:
-            raise NotImplementedError(
-                f"only single-index repositories are supported, got {indexes}"
-            )
-        self.index_dir = os.path.join(repository_path, "index", indexes[0])
-        info = _parse_manifest(os.path.join(self.index_dir, "manifest"))
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        info = _parse_manifest(os.path.join(index_dir, "manifest"))
         corpus = {k.split(".", 1)[1]: v[-1] for k, v in info.items()
                   if k.startswith("corpus.")}
         self.document_base = int(corpus.get("document-base", 1))
@@ -276,29 +258,32 @@ class IndriIndex:
         self.total_terms = int(corpus["total-terms"])
         self.unique_terms = int(corpus["unique-terms"])
         self.frequent_count = int(corpus.get("frequent-terms", 0))
-        self.stopwords = frozenset(
-            v for k, vs in repo.items() if k.startswith("stopper.")
-            for v in vs
-        )
 
         self.document_lengths = np.fromfile(
-            os.path.join(self.index_dir, "documentLengths"), dtype="<u4"
+            os.path.join(index_dir, "documentLengths"), dtype="<u4"
         ).astype(np.int64)
         self._doc_stats = np.fromfile(
-            os.path.join(self.index_dir, "documentStatistics"),
+            os.path.join(index_dir, "documentStatistics"),
             dtype=[("offset", "<u8"), ("byte_length", "<i4"),
                    ("indexed_length", "<i4"), ("total_length", "<i4"),
                    ("unique_terms", "<i4")],
         )
         self._direct: Optional[bytes] = None
         self._vocab: Optional[List[TermEntry]] = None
-        self._docnos: Optional[Dict[int, str]] = None
         self._decoded: Optional[Tuple[np.ndarray, np.ndarray]] = None
 
-    # -- document term lists -------------------------------------------------
-
-    def document_length(self, index_doc_id: int) -> int:
-        return int(self.document_lengths[index_doc_id - self.document_base])
+    def vocabulary(self) -> List[TermEntry]:
+        """This index's terms with its *local* term ids."""
+        if self._vocab is None:
+            freq = _parse_term_entries(
+                os.path.join(self.index_dir, "frequentString"), 0
+            )
+            infreq = _parse_term_entries(
+                os.path.join(self.index_dir, "infrequentString"),
+                self.frequent_count,
+            )
+            self._vocab = freq + infreq
+        return self._vocab
 
     def _decode_direct(self) -> Tuple[np.ndarray, np.ndarray]:
         """One vectorized RVL decode of the whole direct file.
@@ -332,7 +317,7 @@ class IndriIndex:
         return self._decoded
 
     def term_list(self, index_doc_id: int) -> np.ndarray:
-        """Positional Indri term ids for one document (0 = stopped)."""
+        """Positional *local* Indri term ids for one document (0 = stopped)."""
         values, starts = self._decode_direct()
         offset = self._compact_offsets[index_doc_id - self.document_base]
         first = int(np.searchsorted(starts, int(offset)))
@@ -340,19 +325,154 @@ class IndriIndex:
         # Layout: termCount, fieldCount, then the positional term ids.
         return values[first + 2 : first + 2 + term_count].astype(np.int32)
 
+
+class IndriIndex:
+    """Read-only view of an Indri DiskIndex repository.
+
+    Provides the subset of the lemur API the reference's IndriSource needs
+    (data_indri.cpp:16-107): corpus statistics, document lengths, per-
+    document term lists, the vocabulary iterator, and docno lookups.
+
+    Multi-index repositories (incremental builds that were never
+    ``dumpindex compact``-ed — the shape a large unmerged Robust04-scale
+    build produces) are supported *beyond* the reference, which LOG(FATAL)s
+    on them (data_indri.cpp:43-45): the per-index term dictionaries are
+    merged by term string (statistics summed) and every document's term
+    list is translated into the merged id space.  For a single-index
+    repository the merged ids are exactly the real Indri term ids; for a
+    multi-index repository Indri itself has no repository-wide term id, so
+    the merged ids are synthetic (first index's ids, then
+    first-appearance order) — stable for this framework's own ``_meta``
+    round trip, but not meaningful to pyndri until the repository is
+    compacted.
+    """
+
+    def __init__(self, repository_path: str):
+        self.path = repository_path
+        manifest = os.path.join(repository_path, "manifest")
+        if not os.path.isfile(manifest):
+            raise FileNotFoundError(f"not an Indri repository: {repository_path}")
+        repo = _parse_manifest(manifest)
+        index_names = [
+            v for k, vs in repo.items() if k.startswith("indexes.")
+            for v in vs
+        ]
+        if not index_names:
+            raise FileNotFoundError(
+                f"repository manifest lists no indexes: {repository_path}"
+            )
+        self._indexes = sorted(
+            (_DiskIndex(os.path.join(repository_path, "index", name))
+             for name in index_names),
+            key=lambda ix: ix.document_base,
+        )
+        for a, b in zip(self._indexes, self._indexes[1:]):
+            if b.document_base != a.maximum_document:
+                raise ValueError(
+                    "non-contiguous document ranges across indexes: "
+                    f"[..., {a.maximum_document}) then [{b.document_base}, ...)"
+                )
+        first = self._indexes[0]
+        self.index_dir = first.index_dir
+        self.document_base = first.document_base
+        self.maximum_document = self._indexes[-1].maximum_document
+        self.document_count = sum(ix.document_count for ix in self._indexes)
+        self.total_terms = sum(ix.total_terms for ix in self._indexes)
+        self.frequent_count = first.frequent_count
+        self.stopwords = frozenset(
+            v for k, vs in repo.items() if k.startswith("stopper.")
+            for v in vs
+        )
+        self.document_lengths = np.concatenate(
+            [ix.document_lengths for ix in self._indexes]
+        )
+        self._bases = np.asarray(
+            [ix.document_base for ix in self._indexes], dtype=np.int64
+        )
+        self._vocab: Optional[List[TermEntry]] = None
+        self._local_to_merged: Optional[List[np.ndarray]] = None
+        self._docnos: Optional[Dict[int, str]] = None
+
+    @property
+    def unique_terms(self) -> int:
+        if len(self._indexes) == 1:
+            return self._indexes[0].unique_terms
+        return len(self.vocabulary())
+
+    @property
+    def _doc_stats(self) -> np.ndarray:
+        """Concatenated per-document statistics records, in doc-id order.
+
+        The length/unique fields are meaningful repository-wide; offsets
+        remain local to each index's own direct file.
+        """
+        return np.concatenate([ix._doc_stats for ix in self._indexes])
+
+    @property
+    def max_term_id(self) -> int:
+        """Largest merged term id (for dense id -> x translation tables)."""
+        return max((e.term_id for e in self.vocabulary()), default=0)
+
+    def _owner(self, index_doc_id: int) -> Tuple[int, "_DiskIndex"]:
+        i = int(np.searchsorted(self._bases, index_doc_id, side="right")) - 1
+        return i, self._indexes[i]
+
+    # -- document term lists -------------------------------------------------
+
+    def document_length(self, index_doc_id: int) -> int:
+        return int(self.document_lengths[index_doc_id - self.document_base])
+
+    def term_list(self, index_doc_id: int) -> np.ndarray:
+        """Positional merged term ids for one document (0 = stopped)."""
+        which, ix = self._owner(index_doc_id)
+        local = ix.term_list(index_doc_id)
+        if len(self._indexes) == 1:
+            return local
+        self.vocabulary()  # builds the local -> merged translations
+        assert self._local_to_merged is not None
+        return self._local_to_merged[which][local]
+
     # -- vocabulary ----------------------------------------------------------
 
     def vocabulary(self) -> List[TermEntry]:
-        """All terms with Indri ids and corpus-wide statistics."""
+        """All terms with merged ids and corpus-wide statistics.
+
+        Single index: exactly the index's own terms/ids.  Multiple
+        indexes: merged by term string (cf/df summed); see the class
+        docstring for the merged-id convention.
+        """
         if self._vocab is None:
-            freq = _parse_term_entries(
-                os.path.join(self.index_dir, "frequentString"), 0
-            )
-            infreq = _parse_term_entries(
-                os.path.join(self.index_dir, "infrequentString"),
-                self.frequent_count,
-            )
-            self._vocab = freq + infreq
+            if len(self._indexes) == 1:
+                self._vocab = self._indexes[0].vocabulary()
+            else:
+                merged: Dict[str, TermEntry] = {}
+                for ix in self._indexes:
+                    for e in ix.vocabulary():
+                        ent = merged.get(e.term)
+                        if ent is None:
+                            ent = TermEntry(e.term, 0, 0, 0)
+                            merged[e.term] = ent
+                        ent.total_count += e.total_count
+                        ent.document_count += e.document_count
+                # Merged ids: 1-based alphabetical (byte-order) ranks —
+                # the id layout an all-infrequent compacted index uses, so
+                # the merged read of a split repository matches the
+                # compacted read wherever that layout holds.
+                out = sorted(
+                    merged.values(), key=lambda t: t.term.encode("utf-8")
+                )
+                for rank, ent in enumerate(out):
+                    ent.term_id = rank + 1
+                maps: List[np.ndarray] = []
+                for ix in self._indexes:
+                    local = ix.vocabulary()
+                    max_local = max((e.term_id for e in local), default=0)
+                    lmap = np.zeros(max_local + 1, dtype=np.int32)
+                    for e in local:
+                        lmap[e.term_id] = merged[e.term].term_id
+                    maps.append(lmap)
+                self._vocab = out
+                self._local_to_merged = maps
         return self._vocab
 
     # -- docno metadata --------------------------------------------------------
@@ -504,8 +624,7 @@ def build_corpus_from_indri(
     )
 
     # -- token streams (generate_terms, data_indri.cpp:117-133) ---------------
-    indri_to_model = np.full(index.unique_terms + index.frequent_count + 1,
-                             -1, dtype=np.int64)
+    indri_to_model = np.full(index.max_term_id + 1, -1, dtype=np.int64)
     for model_id, tid in enumerate(index_ids):
         if tid > 0:
             indri_to_model[tid] = model_id

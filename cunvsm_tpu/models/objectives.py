@@ -649,13 +649,16 @@ def sample_negative_pool(
 
 
 def rolled_pool_negative_ids(
-    pool_ids: jax.Array, batch_size: int, num_negative: int
+    pool_ids: jax.Array, batch_size: int, num_negative: int, stride: int = 1
 ) -> jax.Array:
     """The per-instance negative ids the rolled-pool scheme assigns:
-    instance b uses pool slots (b % P + j) % P for j in [0, k)."""
+    instance b uses pool slots (b % P + j*stride) % P for j in [0, k)."""
     P = pool_ids.shape[0]
     r = jnp.arange(batch_size, dtype=jnp.int32) % P
-    slots = (r[:, None] + jnp.arange(num_negative, dtype=jnp.int32)[None, :]) % P
+    slots = (
+        r[:, None]
+        + stride * jnp.arange(num_negative, dtype=jnp.int32)[None, :]
+    ) % P
     return pool_ids[slots]
 
 
@@ -669,6 +672,7 @@ def text_entity_cost_and_grads_pooled(
     stream_dtype=None,
     uniform_feature_weights: bool = False,
     window_sum_dtype=None,
+    pool_stride: int = 1,
 ):
     """Cost + ascent gradients with rolled-pool negatives.
 
@@ -706,6 +710,11 @@ def text_entity_cost_and_grads_pooled(
         raise ValueError(f"pool size {P} < num negatives {num_negative}")
     Q = B // P
     k = num_negative
+    S = pool_stride
+    if len({(j * S) % P for j in range(k)}) != k:
+        raise ValueError(
+            f"pool stride {S} does not give {k} distinct slots mod {P}"
+        )
     if batch_size_normalizer is None:
         batch_size_normalizer = B
     window = batch.features.shape[1]
@@ -734,11 +743,11 @@ def text_entity_cost_and_grads_pooled(
     if cast:
         pos = pos.astype(stream_dtype)
         pool = pool.astype(stream_dtype)
-    # Window r holds pool rows (r+j) % P for j in [0, k): a tiny [P*k]-row
-    # gather from the pool.
+    # Window r holds pool rows (r + j*stride) % P for j in [0, k): a tiny
+    # [P*k]-row gather from the pool.
     win_slots = (
         jnp.arange(P, dtype=jnp.int32)[:, None]
-        + jnp.arange(k, dtype=jnp.int32)[None, :]
+        + S * jnp.arange(k, dtype=jnp.int32)[None, :]
     ) % P
     pool_windows = jnp.take(pool, win_slots, axis=0, mode="clip")  # [P, k, d]
     nce_w = nce_instance_weights(batch.weights, k, desc)
@@ -801,7 +810,7 @@ def text_entity_cost_and_grads_pooled(
     g_phrase, g_w, g_b = project_vjp(g_projections)
 
     # Window-gradient form, then fold windows back onto pool rows:
-    # pool_grad[p] = sum_j window_grads[(p - j) % P, j].
+    # pool_grad[p] = sum_j window_grads[(p - j*stride) % P, j].
     window_grads = jax.lax.dot_general(
         g_neg_r.transpose(0, 2, 1),  # [P, k, Q]
         proj_r.transpose(1, 0, 2),  # [P, Q, d]
@@ -810,7 +819,7 @@ def text_entity_cost_and_grads_pooled(
     )  # [P, k, d]
     pool_grad = window_grads[:, 0, :]
     for j in range(1, k):
-        pool_grad = pool_grad + jnp.roll(window_grads[:, j, :], j, axis=0)
+        pool_grad = pool_grad + jnp.roll(window_grads[:, j, :], j * S, axis=0)
 
     ascent = AscentGrads(
         word=(

@@ -147,6 +147,10 @@ def _sorted_segment_accumulate(
     """
     import os
 
+    from cunvsm_tpu.ops.prefix_diff import (
+        prefix_diff_applicable,
+        prefix_diff_segment_sum,
+    )
     from cunvsm_tpu.ops.segment_kernels import sorted_segment_sum
 
     variant = os.environ.get("CUNVSM_ACCUM_VARIANT", "auto")
@@ -175,6 +179,15 @@ def _sorted_segment_accumulate(
     if len(descs) == 1:
         d = descs[0]
         n_inst, window = d.indices.shape
+        if prefix_diff_applicable(
+            n_inst, window, num_rows, d.weights, accum_dtype
+        ):
+            # Scatter-free accumulation (the word-table hot path): the
+            # scatter emitter's ~19 ns/row floor is replaced by two packed
+            # sorts + an MXU prefix reduction (ops/prefix_diff.py).
+            return prefix_diff_segment_sum(
+                d.grad, d.indices, num_rows, stream_dtype=stream_dtype
+            )
         idx = d.indices.reshape(-1)
         if d.weights is None:
             if n_inst <= (1 << 16) and num_rows <= (1 << 16):

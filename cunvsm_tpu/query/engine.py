@@ -298,7 +298,20 @@ class TermBruteforcer:
         import itertools
 
         self.engine = engine
-        terms = sorted(engine.term_to_id)[:max_terms]
+        # Cap the term universe by collection frequency (the terms a user
+        # would expect an inverse lookup to cover), falling back to
+        # alphabetical order when the engine carries no frequencies.
+        if engine.term_frequencies is not None:
+            ranked = sorted(
+                engine.term_to_id,
+                key=lambda t: (
+                    -int(engine.term_frequencies[engine.term_to_id[t]]),
+                    t,
+                ),
+            )
+        else:
+            ranked = sorted(engine.term_to_id)
+        terms = ranked[:max_terms]
         self.ngrams = []
         reprs = []
         w = engine._word_reprs_np

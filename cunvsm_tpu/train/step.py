@@ -82,6 +82,7 @@ def _text_entity_grads(params, batch, key, desc, cfg, num_entities=None):
             stream_dtype=cfg.resolved_stream_dtype(),
             uniform_feature_weights=cfg.uniform_feature_weights,
             window_sum_dtype=cfg.resolved_window_sum_dtype(),
+            pool_stride=cfg.negative_pool_stride,
         )
         return cost, grads
     if cfg.shared_negatives:

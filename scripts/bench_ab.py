@@ -55,6 +55,7 @@ cfg = TrainConfig(
     window_sum_dtype=variant.get("window_sum_dtype", "float32"),
     shared_negatives=variant.get("shared", False),
     negative_pool_size=variant.get("pool", 0),
+    negative_pool_stride=variant.get("pool_stride", 1),
 )
 
 key = jax.random.PRNGKey(0)
@@ -120,6 +121,39 @@ VARIANTS = {
     "pool2048_wsum": {"pool": 2048, "window_sum_dtype": "bfloat16"},
     "pool6400_wsum": {"pool": 6400, "window_sum_dtype": "bfloat16"},
     "pool12800_wsum": {"pool": 12800, "window_sum_dtype": "bfloat16"},
+    # Round 3: prefix-diff word accumulation (on by default) A/B'd against
+    # the sorted-scatter path, across pool sizes / strides / chunk sizes.
+    "pd_pool2048": {"pool": 2048, "window_sum_dtype": "bfloat16"},
+    "nopd_pool2048": {
+        "pool": 2048, "window_sum_dtype": "bfloat16",
+        "envs": {"CUNVSM_PREFIX_DIFF": "0"},
+    },
+    "pd_perinst": {"window_sum_dtype": "bfloat16"},
+    "nopd_perinst": {
+        "window_sum_dtype": "bfloat16",
+        "envs": {"CUNVSM_PREFIX_DIFF": "0"},
+    },
+    "pd_pool5120": {"pool": 5120, "window_sum_dtype": "bfloat16"},
+    "pd_pool10240": {"pool": 10240, "window_sum_dtype": "bfloat16"},
+    "pd_pool25600": {"pool": 25600, "window_sum_dtype": "bfloat16"},
+    "pd_pool5120_s512": {
+        "pool": 5120, "pool_stride": 511, "window_sum_dtype": "bfloat16",
+    },
+    "pd_pool2048_s205": {
+        "pool": 2048, "pool_stride": 205, "window_sum_dtype": "bfloat16",
+    },
+    "pd_chunk64": {
+        "pool": 2048, "window_sum_dtype": "bfloat16",
+        "envs": {"CUNVSM_PREFIX_CHUNK": "64"},
+    },
+    "pd_chunk256": {
+        "pool": 2048, "window_sum_dtype": "bfloat16",
+        "envs": {"CUNVSM_PREFIX_CHUNK": "256"},
+    },
+    "pd_chunk512": {
+        "pool": 2048, "window_sum_dtype": "bfloat16",
+        "envs": {"CUNVSM_PREFIX_CHUNK": "512"},
+    },
 }
 
 
@@ -136,6 +170,8 @@ def main():
         env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
         if "env" in spec:
             env["CUNVSM_ACCUM_VARIANT"] = spec.pop("env")
+        for k, v in spec.pop("envs", {}).items():
+            env[k] = v
         spec["name"] = name
         spec["rounds"] = args.rounds
         r = subprocess.run(

@@ -1,0 +1,141 @@
+"""Multi-index Indri repository support.
+
+The reference LOG(FATAL)s on repositories with more than one on-disk index
+(data_indri.cpp:43-45); this framework reads them by merging the per-index
+term dictionaries (data/indri.py).  Fixtures are synthesized with
+tests/indri_fixture.py, whose format conformance is anchored by the real
+Brown-index tests (tests/test_indri.py) exercising the same parsers.
+"""
+
+import numpy as np
+import pytest
+
+from cunvsm_tpu.config import DataConfig
+from cunvsm_tpu.data.indri import IndriIndex, build_corpus_from_indri
+from tests.indri_fixture import write_repository
+
+DOCS = [
+    ("doc-a", "the quick brown fox jumps over the lazy dog".split()),
+    ("doc-b", "never jump over the lazy dog quickly again fox".split()),
+    ("doc-c", "brown bears eat fish and honey near the river".split()),
+    ("doc-d", "the river flows past the quick brown mill".split()),
+    ("doc-e", "fish swim quickly past the mill and the fox".split()),
+]
+STOP = ["the", "and", "over"]
+
+
+def _cfg(path):
+    return DataConfig(
+        corpus_path=path, max_vocabulary_size=0, min_document_frequency=0,
+        max_document_frequency=0,
+    )
+
+
+@pytest.fixture(scope="module")
+def repos(tmp_path_factory):
+    root = tmp_path_factory.mktemp("indri")
+    single = str(root / "single")
+    multi = str(root / "multi")
+    write_repository(single, [DOCS], stopwords=STOP)
+    write_repository(multi, [DOCS[:2], DOCS[2:4], DOCS[4:]], stopwords=STOP)
+    return single, multi
+
+
+def test_single_index_statistics(repos):
+    single, _ = repos
+    ix = IndriIndex(single)
+    assert ix.document_count == 5
+    assert ix.total_terms == sum(len(t) for _, t in DOCS)
+    vocab = {e.term for e in ix.vocabulary()}
+    expected = {t for _, ts in DOCS for t in ts} - set(STOP)
+    assert vocab == expected
+    assert ix.unique_terms == len(expected)
+
+
+def test_multi_index_statistics_match_single(repos):
+    single, multi = repos
+    s, m = IndriIndex(single), IndriIndex(multi)
+    assert m.document_count == s.document_count
+    assert m.total_terms == s.total_terms
+    assert m.document_base == s.document_base
+    assert m.maximum_document == s.maximum_document
+    np.testing.assert_array_equal(m.document_lengths, s.document_lengths)
+    # Merged vocabulary: same terms, same summed statistics.
+    sv = {e.term: (e.total_count, e.document_count) for e in s.vocabulary()}
+    mv = {e.term: (e.total_count, e.document_count) for e in m.vocabulary()}
+    assert mv == sv
+    assert m.unique_terms == s.unique_terms
+    # Merged ids are unique and dense from 1.
+    ids = sorted(e.term_id for e in m.vocabulary())
+    assert ids == list(range(1, len(ids) + 1))
+
+
+def test_multi_index_term_lists_translate(repos):
+    single, multi = repos
+    s, m = IndriIndex(single), IndriIndex(multi)
+    s_terms = {e.term_id: e.term for e in s.vocabulary()}
+    m_terms = {e.term_id: e.term for e in m.vocabulary()}
+    for doc_id in range(1, 6):
+        st = [s_terms.get(int(t), "") for t in s.term_list(doc_id)]
+        mt = [m_terms.get(int(t), "") for t in m.term_list(doc_id)]
+        assert st == mt  # same strings, stopped positions in the same slots
+        assert len(st) == s.document_length(doc_id)
+
+
+def test_multi_index_docnos(repos):
+    _, multi = repos
+    m = IndriIndex(multi)
+    assert m.docnos() == {
+        i + 1: docno for i, (docno, _) in enumerate(DOCS)
+    }
+    assert m.docids_from_docnos(["doc-d", "doc-a"]) == [4, 1]
+
+
+def test_corpus_parity_single_vs_multi(repos):
+    """build_corpus_from_indri must produce the same corpus from the split
+    repository as from the compacted one (modulo index_term_ids, which are
+    synthetic for multi-index repositories — see the IndriIndex docstring)."""
+    single, multi = repos
+    cs = build_corpus_from_indri(single, _cfg(single), window_size=3)
+    cm = build_corpus_from_indri(multi, _cfg(multi), window_size=3)
+    assert cs.vocab.terms == cm.vocab.terms
+    np.testing.assert_array_equal(cs.vocab.term_freq, cm.vocab.term_freq)
+    assert cs.vocab.total_terms == cm.vocab.total_terms
+    np.testing.assert_array_equal(cs.tokens, cm.tokens)
+    np.testing.assert_array_equal(cs.doc_offsets, cm.doc_offsets)
+    np.testing.assert_array_equal(cs.index_lengths, cm.index_lengths)
+    assert cs.docnos == cm.docnos
+    np.testing.assert_array_equal(cs.index_doc_ids, cm.index_doc_ids)
+
+
+def test_corpus_document_list_and_subset_recount(repos):
+    _, multi = repos
+    sub = ["doc-e", "doc-b"]
+    c = build_corpus_from_indri(
+        multi, _cfg(multi), window_size=3, document_list=sub
+    )
+    assert c.docnos == sub
+    # Subset recount: frequencies counted over the selected documents only.
+    expected_counts = {}
+    for docno, ts in DOCS:
+        if docno in sub:
+            for t in ts:
+                if t not in STOP:
+                    expected_counts[t] = expected_counts.get(t, 0) + 1
+    got = {t: int(f) for t, f in zip(c.vocab.terms, c.vocab.term_freq) if t}
+    assert got == expected_counts
+
+
+def test_non_contiguous_ranges_rejected(tmp_path):
+    bad = str(tmp_path / "bad")
+    write_repository(bad, [DOCS[:2], DOCS[2:]])
+    # Corrupt the second index's document-base.
+    import re
+
+    mpath = bad + "/index/1/manifest"
+    text = open(mpath).read()
+    open(mpath, "w").write(
+        re.sub(r"<document-base>\d+", "<document-base>9", text)
+    )
+    with pytest.raises(ValueError, match="non-contiguous"):
+        IndriIndex(bad)

@@ -488,6 +488,50 @@ class TestPooledNegatives:
             rtol=1e-9, atol=1e-12,
         )
 
+    def test_stride_matches_tiled(self, rng):
+        """Strided windows keep the exact per-example loss (the negatives
+        are just a different distinct-slot selection from the same pool) and
+        the j*stride rolls fold the window gradients onto the right rows."""
+        desc = ModelDesc(word_repr_size=4, entity_repr_size=3)
+        params, batch, pool_ids, _, k = self._setup(rng)
+        B = batch.features.shape[0]
+        rolled = obj.rolled_pool_negative_ids(pool_ids, B, k, stride=3)
+        tiled = jnp.concatenate([batch.labels[:, None], rolled], axis=1)
+
+        cost_p, probs_p, grads = obj.text_entity_cost_and_grads_pooled(
+            params, batch, pool_ids, k, desc, pool_stride=3
+        )
+        cost_ref, probs_ref = obj.text_entity_cost(params, batch, tiled, desc)
+        np.testing.assert_allclose(float(cost_p), float(cost_ref), rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(probs_p), np.asarray(probs_ref), rtol=1e-12
+        )
+
+        def cost_fn(p):
+            c, _ = obj.text_entity_cost(p, batch, tiled, desc)
+            return c
+
+        g = jax.grad(cost_fn)(params)
+        dense_entity = np.zeros(params.entity_reprs.shape)
+        for d in grads.entity:
+            gr, idx = np.asarray(d.grad), np.asarray(d.indices)
+            w = (
+                np.asarray(d.weights)
+                if d.weights is not None
+                else np.ones(idx.shape)
+            )
+            for i in range(idx.shape[0]):
+                for j in range(idx.shape[1]):
+                    dense_entity[idx[i, j]] += w[i, j] * gr[i]
+        np.testing.assert_allclose(
+            dense_entity, -np.asarray(g.entity_reprs), rtol=1e-9, atol=1e-12
+        )
+
+        with pytest.raises(ValueError, match="distinct slots"):
+            obj.text_entity_cost_and_grads_pooled(
+                params, batch, pool_ids, k, desc, pool_stride=2
+            )
+
     def test_validation_errors(self, rng):
         params, batch, pool_ids, _, k = self._setup(rng)
         with pytest.raises(ValueError, match="divisible"):
