@@ -112,6 +112,66 @@ def _scatter_add(table: jax.Array, desc: SparseGrad, scale) -> jax.Array:
     return table.at[idx].add(scale * upd)
 
 
+def _data_sharded_accumulate(
+    num_rows: int,
+    descs: Tuple[SparseGrad, ...],
+    mesh,
+    data_axis: str,
+    stream_dtype=None,
+    accum_dtype=None,
+) -> jax.Array:
+    """Data-parallel dense accumulation for a *replicated* table under a
+    device mesh.
+
+    The single-chip accumulation sorts the flat update stream, and GSPMD
+    cannot partition a global sort: it replicates the whole stream with a
+    masked all-reduce — B*W*d bytes of interconnect per step (614 MB at the
+    canonical word shapes), the exact "sharded embedding gather/scatter"
+    hazard SURVEY §7 flags.  This wrapper shard_maps the accumulation over
+    the data axis instead: every shard reduces its *local* stream into a
+    local dense [num_rows, dim] partial (sorted scatter or prefix-diff,
+    unchanged math) and one psum of the table-sized partial crosses the
+    interconnect — V*d bytes (78 MB at canonical shapes), the same volume
+    as the data-parallel word-gradient sync itself.  Summation is exact:
+    only the order of partial sums changes.  Asserted on the compiled HLO
+    in tests/test_sharding.py."""
+    from functools import partial
+
+    from jax import shard_map
+
+    grads = tuple(d.grad for d in descs)
+    indices = tuple(d.indices for d in descs)
+    weights = tuple(d.weights for d in descs)
+
+    spec = jax.sharding.PartitionSpec(data_axis, None)
+    # None weights are empty pytrees; the per-leaf spec simply never
+    # applies to them.
+    specs = (
+        tuple(spec for _ in grads),
+        tuple(spec for _ in indices),
+        tuple(spec for _ in weights),
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=specs,
+        out_specs=jax.sharding.PartitionSpec(),
+        check_vma=False,
+    )
+    def acc(grads_, indices_, weights_):
+        local = tuple(
+            SparseGrad(g, i, w)
+            for g, i, w in zip(grads_, indices_, weights_)
+        )
+        dense = _sorted_segment_accumulate(
+            num_rows, local, stream_dtype, accum_dtype
+        )
+        return jax.lax.psum(dense, data_axis)
+
+    return acc(grads, indices, weights)
+
+
 def _sorted_segment_accumulate(
     num_rows: int,
     descs: Tuple[SparseGrad, ...],
@@ -386,7 +446,7 @@ def _repr_adam_dense_update(state, table, descs, lr, lam, beta1, beta2, eps):
 
 def _repr_adam_full(
     state, table, descs, lr, lam, beta1, beta2, eps, stream_dtype=None,
-    accum_dtype=None,
+    accum_dtype=None, data_shard_mesh=None, data_axis="data",
 ):
     # DENSE_UPDATE_DENSE_VARIANCE mode (updates_adam.cu:203-213,253-282,
     # 312-328): dense m and v with L2 folded into the moments.  The m update
@@ -396,9 +456,15 @@ def _repr_adam_full(
     # of one fusion per output.
     from cunvsm_tpu.ops.adam_sweep import fused_adam_dense_sweep
 
-    scattered = _sorted_segment_accumulate(
-        table.shape[0], tuple(descs), stream_dtype, accum_dtype
-    )
+    if data_shard_mesh is not None:
+        scattered = _data_sharded_accumulate(
+            table.shape[0], tuple(descs), data_shard_mesh, data_axis,
+            stream_dtype, accum_dtype,
+        )
+    else:
+        scattered = _sorted_segment_accumulate(
+            table.shape[0], tuple(descs), stream_dtype, accum_dtype
+        )
     bc = _adam_bias_correction(beta1, beta2, state.t, table.dtype)
     m, v, table = fused_adam_dense_sweep(
         table, state.m, state.v, scattered, lr * bc,
@@ -420,8 +486,15 @@ class Optimizer:
     the transform.
     """
 
-    def __init__(self, cfg: TrainConfig):
+    def __init__(self, cfg: TrainConfig, data_shard_mesh=None,
+                 data_axis: str = "data"):
+        # data_shard_mesh: when training under a device mesh, the word
+        # table's dense accumulation is shard_mapped over ``data_axis``
+        # (see _data_sharded_accumulate); the entity table stays under
+        # GSPMD (it is model-sharded, not replicated).
         self.cfg = cfg
+        self.data_shard_mesh = data_shard_mesh
+        self.data_axis = data_axis
 
     # -- init ---------------------------------------------------------------
 
@@ -486,7 +559,8 @@ class Optimizer:
         lam = scaled_regularization_lambda
 
         word, w_state = self._apply_repr(
-            params.word_reprs, opt_state.word, grads.word, lr, lam
+            params.word_reprs, opt_state.word, grads.word, lr, lam,
+            data_sharded=self.data_shard_mesh is not None,
         )
         entity, e_state = self._apply_repr(
             params.entity_reprs, opt_state.entity, grads.entity, lr, lam
@@ -515,7 +589,8 @@ class Optimizer:
             OptState(w_state, e_state, t_state),
         )
 
-    def _apply_repr(self, table, state, descs, lr, lam):
+    def _apply_repr(self, table, state, descs, lr, lam,
+                    data_sharded=False):
         if not descs:
             return table, state
         cfg = self.cfg
@@ -538,6 +613,10 @@ class Optimizer:
                 *args,
                 stream_dtype=cfg.resolved_stream_dtype(),
                 accum_dtype=cfg.resolved_accum_dtype(),
+                data_shard_mesh=(
+                    self.data_shard_mesh if data_sharded else None
+                ),
+                data_axis=self.data_axis,
             )
         else:
             raise ValueError(f"unknown adam mode {mode}")

@@ -373,3 +373,114 @@ def test_query_engine_mesh_second_topk_masks_padding():
         run_b = sharded.rank(queries, top_k=top_k)
         for qid in run_a:
             assert [d for d, _ in run_a[qid]] == [d for d, _ in run_b[qid]]
+
+
+# ---------------------------------------------------------------------------
+# Training-step communication volume (VERDICT r2 #2 / SURVEY §7 hazard).
+# ---------------------------------------------------------------------------
+
+
+def _train_step_hlo(pool, big=True):
+    """Compile the sharded train step at realistic-RATIO shapes and return
+    (hlo_text, dims).  Shapes are chosen so the failure modes are separated
+    by orders of magnitude: entity table D*d_e >> word stream B*W*d_w >
+    entity stream B*(k+1)*d_e > word table V*d_w."""
+    import dataclasses
+
+    from cunvsm_tpu.config import Nonlinearity
+
+    D, V, d_e, d_w, B_, W_, k = 8192, 128, 32, 16, 256, 8, 6
+    desc = ModelDesc(
+        word_repr_size=d_w, entity_repr_size=d_e,
+        nonlinearity=Nonlinearity.HARD_TANH, batch_normalization=True,
+    )
+    cfg = TrainConfig(
+        batch_size=B_, window_size=W_, num_random_entities=k,
+        update_method=UpdateMethod.ADAM,
+        adam=AdamConfig(mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
+        learning_rate=1e-3, regularization_lambda=1e-2,
+        uniform_feature_weights=True,
+        negative_pool_size=pool,
+    )
+    params = init_params(jax.random.PRNGKey(0), V, D, desc)
+    opt = Optimizer(cfg)
+    opt_state = opt.init(params)
+    rng = np.random.RandomState(0)
+    batch = obj.TextEntityBatch(
+        features=jnp.asarray(rng.randint(0, V, (B_, W_)), jnp.int32),
+        feature_weights=jnp.ones((B_, W_), jnp.float32),
+        labels=jnp.asarray(rng.randint(0, D, (B_,)), jnp.int32),
+        weights=jnp.ones((B_,), jnp.float32),
+    )
+    mesh = make_mesh(2, 4)
+    step, p_s, o_s = make_sharded_train_step(
+        desc, cfg, mesh, params, opt_state, batch, num_entities=D
+    )
+    hlo = step.lower(p_s, o_s, batch, jax.random.PRNGKey(0)).compile().as_text()
+    return hlo, dict(D=D, V=V, d_e=d_e, d_w=d_w, B=B_, W=W_, k=k, pool=pool)
+
+
+def test_sharded_train_step_comm_volume_pooled():
+    """Pooled mode on the 2x4 mesh: entity traffic is O(B + P) rows, the
+    word accumulation syncs as one [V, d_w] table psum (the shard_mapped
+    path in optim.updates._data_sharded_accumulate), and nothing
+    all-reduces the B*W word-gradient stream or materializes/moves the
+    model-sharded entity table.  This is the regression test for GSPMD's
+    replicate-on-unpartitionable fallback: before round 3 the global
+    accumulation sort made GSPMD all-reduce the full update stream
+    (614 MB/step at canonical shapes)."""
+    from cunvsm_tpu.parallel import audit
+
+    hlo, s = _train_step_hlo(pool=64)
+    cs = audit.collectives(hlo)
+    assert cs, "expected collectives on a 2x4 mesh"
+
+    # (a) No collective anywhere near the entity table or its moments.
+    table_bytes = s["D"] * s["d_e"] * 4
+    assert audit.max_collective_bytes(hlo) < table_bytes // 4, (
+        audit.format_table(hlo)
+    )
+    # (b) The word-gradient stream (B*W rows) is never moved as a stream:
+    #     no collective result part has a stream-length leading dim.
+    for c in cs:
+        for dt, dims, nbytes in c.parts:
+            assert not (dims and dims[0] >= s["B"] * s["W"]), (
+                c, audit.format_table(hlo)
+            )
+    # (c) The full entity table never exists on any device.
+    assert f"f32[{s['D']},{s['d_e']}]" not in hlo
+    # (d) Entity traffic is bounded by the (B + P) gathered/updated rows
+    #     (plus the P*k pool-window gradients), not by D and not by B*k
+    #     replicated: the largest single collective is at most the
+    #     pool-window gradient tensor.
+    budget = max(
+        (s["B"] + s["pool"] + 64) * s["d_e"],  # entity row stream + slack
+        s["pool"] * s["k"] * s["d_e"],         # pool window gradients
+    ) * 4 + 4096  # small tensors fused into the same tuple all-reduce
+    assert audit.max_collective_bytes(hlo) <= budget, audit.format_table(hlo)
+
+
+def test_sharded_train_step_comm_volume_per_instance():
+    """Per-instance sampling: the entity-side stream is inherently
+    B*(k+1) rows; assert the collectives stay bounded by that stream (no
+    table-sized replication), which documents why mesh training defaults
+    to the pooled layout."""
+    from cunvsm_tpu.parallel import audit
+
+    hlo, s = _train_step_hlo(pool=0)
+    table_bytes = s["D"] * s["d_e"] * 4
+    assert audit.max_collective_bytes(hlo) < table_bytes // 4, (
+        audit.format_table(hlo)
+    )
+    assert f"f32[{s['D']},{s['d_e']}]" not in hlo
+    # Word-side: the B*W*d_w stream must not be all-reduced (the
+    # shard_mapped accumulation applies to every sampling mode): no
+    # collective result part has a word-stream-length leading dim wider
+    # than the scalar sort keys.
+    word_ops = [
+        (c, part)
+        for c in audit.collectives(hlo)
+        for part in c.parts
+        if part[1] and part[1][0] >= s["B"] * s["W"] and len(part[1]) > 1
+    ]
+    assert not word_ops, audit.format_table(hlo)
