@@ -44,6 +44,16 @@ def checkpoint_path(prefix: str, epoch) -> str:
     return f"{prefix}_{epoch}.hdf5"
 
 
+def _table_chunks(arr: np.ndarray):
+    """Chunked storage for the representation tables: fixed row-block
+    chunks keep partial reads (a serving process mapping a slice of a
+    collection-scale table) and streamed writes O(chunk) instead of
+    O(table); rank<2 or small tensors stay contiguous."""
+    if arr.ndim != 2 or arr.shape[0] < 8192:
+        return None
+    return (min(arr.shape[0], 2048), arr.shape[1])
+
+
 def save_model_hdf5(
     params: ModelParams, prefix: str, epoch, overwrite: bool = False
 ) -> str:
@@ -52,11 +62,11 @@ def save_model_hdf5(
     # ``overwrite`` is used by resumed runs re-dumping an epoch whose HDF5
     # landed before the crash cut off the resume state.
     with h5py.File(path, "w" if overwrite else "w-") as f:
+        word = np.asarray(params.word_reprs, dtype=np.float32)
+        entity = np.asarray(params.entity_reprs, dtype=np.float32)
+        f.create_dataset(WORD_REPRS, data=word, chunks=_table_chunks(word))
         f.create_dataset(
-            WORD_REPRS, data=np.asarray(params.word_reprs, dtype=np.float32)
-        )
-        f.create_dataset(
-            ENTITY_REPRS, data=np.asarray(params.entity_reprs, dtype=np.float32)
+            ENTITY_REPRS, data=entity, chunks=_table_chunks(entity)
         )
         f.create_dataset(
             TRANSFORM, data=np.asarray(params.transform_w, dtype=np.float32)
@@ -173,6 +183,85 @@ def save_training_state(
     np.savez(tmp, **arrays)
     os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
     return path
+
+
+class AsyncCheckpointWriter:
+    """Epoch-boundary checkpoint IO off the training thread.
+
+    At the canonical collection-scale configuration (262k x 256 entity
+    table, dense full_adam moments) the per-epoch resume npz alone is
+    ~0.9 GB; writing it synchronously stalls training for seconds per
+    epoch.  This writer snapshots device arrays to host memory on the
+    caller's thread (the unavoidable device-to-host transfer) and performs
+    every file write on a single daemon worker in submission order, so the
+    stall shrinks to the transfer while serialization overlaps the next
+    epoch.  Bounded queue (one epoch of lag max); worker exceptions
+    propagate on the next ``save_*``/``wait`` — the same error contract as
+    the data Prefetcher (data/sources.py)."""
+
+    def __init__(self, max_pending: int = 2):
+        import queue
+        import threading
+
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max_pending)
+        self._error: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while True:
+            job = self._queue.get()
+            try:
+                if job is None:
+                    return
+                fn, args, kwargs = job
+                fn(*args, **kwargs)
+            except BaseException as exc:  # propagated to the caller
+                self._error = exc
+            finally:
+                self._queue.task_done()
+
+    def _submit(self, fn, *args, **kwargs):
+        self._raise_pending()
+        self._queue.put((fn, args, kwargs))
+
+    def _raise_pending(self):
+        if self._error is not None:
+            exc, self._error = self._error, None
+            raise exc
+
+    @staticmethod
+    def _snapshot(tree):
+        import jax
+
+        return jax.tree_util.tree_map(
+            lambda leaf: np.asarray(leaf), tree
+        )
+
+    def save_model(self, params: ModelParams, prefix: str, epoch,
+                   overwrite: bool = False):
+        self._submit(
+            save_model_hdf5, self._snapshot(params), prefix, epoch,
+            overwrite=overwrite,
+        )
+
+    def save_training_state(self, prefix: str, params, opt_state, epoch,
+                            extra=None):
+        self._submit(
+            save_training_state, prefix, self._snapshot(params),
+            self._snapshot(opt_state), epoch, extra=extra,
+        )
+
+    def wait(self):
+        """Block until every submitted write has finished; re-raise any
+        worker error."""
+        self._queue.join()
+        self._raise_pending()
+
+    def close(self):
+        self.wait()
+        self._queue.put(None)
+        self._thread.join()
 
 
 def load_training_state(prefix: str, params_like, opt_state_like):

@@ -350,8 +350,12 @@ def train_model(
                 float(jnp.mean(jnp.stack(costs))),
             )
 
+    # All checkpoint file IO runs off-thread (io/checkpoint.py
+    # AsyncCheckpointWriter): the training loop pays only the
+    # device-to-host snapshot at each epoch boundary.
+    writer = ckpt.AsyncCheckpointWriter() if output_prefix else None
     if dump_initial_model and output_prefix:
-        ckpt.save_model_hdf5(unpad(params), output_prefix, 0)
+        writer.save_model(unpad(params), output_prefix, 0)
 
     epoch_costs: List[float] = []
     total_batches = resumed_batches
@@ -410,8 +414,8 @@ def train_model(
                 jax.profiler.stop_trace()
                 profiling = False
             if output_prefix:
-                ckpt.save_model_hdf5(unpad(params), output_prefix, epoch)
-                ckpt.save_training_state(
+                writer.save_model(unpad(params), output_prefix, epoch)
+                writer.save_training_state(
                     output_prefix, params, opt_state, epoch,
                     extra={"total_batches": np.asarray(total_batches)},
                 )
@@ -459,7 +463,7 @@ def train_model(
                 and output_prefix
                 and total_batches % dump_every == 0
             ):
-                ckpt.save_model_hdf5(
+                writer.save_model(
                     unpad(params), output_prefix, f"{epoch}_{total_batches}"
                 )
         # Single host sync per epoch.
@@ -484,18 +488,20 @@ def train_model(
             jax.profiler.stop_trace()
             profiling = False
         if output_prefix:
-            ckpt.save_model_hdf5(
+            writer.save_model(
                 unpad(params), output_prefix, epoch,
                 overwrite=resume,
             )
             # The resume state keeps the padded layout for mesh consistency.
-            ckpt.save_training_state(
+            writer.save_training_state(
                 output_prefix, params, opt_state, epoch,
                 extra={"total_batches": np.asarray(total_batches)},
             )
         if epoch_callback:
             epoch_callback(epoch, unpad(params), epoch_cost)
 
+    if writer is not None:
+        writer.close()
     total_time = time.time() - train_start
     return TrainResult(
         params=unpad(params),

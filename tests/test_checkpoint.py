@@ -110,3 +110,86 @@ class TestResume:
             np.asarray(p2.word_reprs), np.asarray(params.word_reprs)
         )
         assert int(s2.transform.t) == int(state.transform.t)
+
+
+class TestAsyncCheckpointWriter:
+    def _params(self):
+        import jax
+
+        from cunvsm_tpu.config import ModelDesc
+        from cunvsm_tpu.models.params import init_params
+
+        return init_params(
+            jax.random.PRNGKey(0), 12, 9,
+            ModelDesc(word_repr_size=4, entity_repr_size=3),
+        )
+
+    def test_matches_sync_writes(self, tmp_path):
+        from cunvsm_tpu.io import checkpoint as ckpt
+
+        params = self._params()
+        sync_prefix = str(tmp_path / "sync")
+        async_prefix = str(tmp_path / "async")
+        ckpt.save_model_hdf5(params, sync_prefix, 3)
+        ckpt.save_training_state(
+            sync_prefix, params, {"m": np.zeros(3)}, 3,
+            extra={"total_batches": np.asarray(7)},
+        )
+
+        w = ckpt.AsyncCheckpointWriter()
+        w.save_model(params, async_prefix, 3)
+        w.save_training_state(
+            async_prefix, params, {"m": np.zeros(3)}, 3,
+            extra={"total_batches": np.asarray(7)},
+        )
+        w.close()
+
+        a = ckpt.load_model_hdf5(async_prefix, 3)
+        b = ckpt.load_model_hdf5(sync_prefix, 3)
+        for la, lb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        pa, oa, ea, xa = ckpt.load_training_state(
+            async_prefix, params, {"m": np.zeros(3)}
+        )
+        assert ea == 3 and int(xa["total_batches"]) == 7
+
+    def test_write_order_and_overwrite_guard(self, tmp_path):
+        from cunvsm_tpu.io import checkpoint as ckpt
+
+        params = self._params()
+        prefix = str(tmp_path / "m")
+        w = ckpt.AsyncCheckpointWriter()
+        w.save_model(params, prefix, 1)
+        # Same epoch again without overwrite: H5F_ACC_EXCL must reject it
+        # on the worker and surface on wait().
+        w.save_model(params, prefix, 1)
+        with pytest.raises(Exception):
+            w.wait()
+        # The writer stays usable after a propagated error.
+        w.save_model(params, prefix, 2)
+        w.close()
+        assert ckpt.load_model_hdf5(prefix, 2) is not None
+
+    def test_chunked_tables_roundtrip(self, tmp_path):
+        import h5py
+        import jax.numpy as jnp
+
+        from cunvsm_tpu.io import checkpoint as ckpt
+        from cunvsm_tpu.models.params import ModelParams
+
+        rng = np.random.RandomState(0)
+        params = ModelParams(
+            word_reprs=jnp.asarray(rng.randn(8192, 4), jnp.float32),
+            entity_reprs=jnp.asarray(rng.randn(10000, 3), jnp.float32),
+            transform_w=jnp.asarray(rng.randn(4, 3), jnp.float32),
+            transform_b=jnp.asarray(rng.randn(3), jnp.float32),
+        )
+        prefix = str(tmp_path / "big")
+        ckpt.save_model_hdf5(params, prefix, 1)
+        with h5py.File(ckpt.checkpoint_path(prefix, 1)) as f:
+            assert f[ckpt.WORD_REPRS].chunks == (2048, 4)
+            assert f[ckpt.ENTITY_REPRS].chunks == (2048, 3)
+        loaded = ckpt.load_model_hdf5(prefix, 1)
+        np.testing.assert_array_equal(
+            np.asarray(loaded.entity_reprs), np.asarray(params.entity_reprs)
+        )
