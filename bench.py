@@ -37,6 +37,7 @@ Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 
+import argparse
 import json
 import sys
 import time
@@ -51,6 +52,16 @@ SCAN_STEPS = 20
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--reference-exact", action="store_true",
+        help="measure the reference-exact per-instance sampling path "
+             "(negative_pool_size=0) instead of the shipped TPU-native "
+             "pooled layout, so regressions in the parity path stay "
+             "visible",
+    )
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -93,7 +104,7 @@ def main():
         uniform_feature_weights=True,
         # Rolled-pool negatives: exact per-example loss (k=10), GEMM-
         # structured negative compute; Cranfield-validated at P=2048.
-        negative_pool_size=2048,
+        negative_pool_size=0 if args.reference_exact else 2048,
     )
 
     key = jax.random.PRNGKey(0)
@@ -148,7 +159,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "train_ngram_pairs_per_sec",
+                "metric": (
+                    "train_ngram_pairs_per_sec_reference_exact"
+                    if args.reference_exact
+                    else "train_ngram_pairs_per_sec"
+                ),
                 "value": round(pairs_per_sec, 1),
                 "unit": "pairs/s",
                 "vs_baseline": round(

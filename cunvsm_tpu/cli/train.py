@@ -124,6 +124,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "(b %% P)+j — exact per-example loss with the GEMM "
                         "structure of shared negatives (requires sgd or "
                         "full_adam and batch %% P == 0).")
+    p.add_argument("--negative_pool_stride", type=int, default=1,
+                   help="Slot stride of the rolled-pool windows "
+                        "(TrainConfig.negative_pool_stride): a stride "
+                        ">= num negatives with gcd(stride, P) = 1 "
+                        "decorrelates the per-step negative sets of "
+                        "nearby residues at zero cost.")
+    p.add_argument("--window_sum_dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="Accumulator of the forward window average; "
+                        "bfloat16 (requires --stream_dtype bfloat16) sums "
+                        "at stream width and widens after "
+                        "(TrainConfig.window_sum_dtype).")
     p.add_argument("--on_device_sampling", action="store_true",
                    help="Keep the packed corpus in HBM and sample batches "
                         "inside the compiled step (stochastic text-entity "
@@ -176,6 +188,8 @@ def main(argv=None) -> int:
         accum_dtype=args.accum_dtype,
         shared_negatives=args.shared_negatives,
         negative_pool_size=args.negative_pool_size,
+        negative_pool_stride=args.negative_pool_stride,
+        window_sum_dtype=args.window_sum_dtype,
     )
     data_cfg = DataConfig(
         corpus_path=args.corpus_path,

@@ -194,6 +194,22 @@ class TrainConfig:
 
     seed: int = 1
 
+    def __post_init__(self):
+        # window_sum_dtype only takes effect when it matches the resolved
+        # stream dtype (gather_phrase_reprs sums at stream width); a
+        # mismatch would silently no-op — the misconfigured quality
+        # experiment would measure the wrong thing.
+        if (
+            self.window_sum_dtype != "float32"
+            and self.window_sum_dtype != self.stream_dtype
+        ):
+            raise ValueError(
+                f"window_sum_dtype={self.window_sum_dtype!r} requires "
+                f"stream_dtype={self.window_sum_dtype!r} "
+                f"(got {self.stream_dtype!r}); the window sum runs at "
+                "stream width or at float32, never at a third dtype"
+            )
+
     def resolved_stream_dtype(self) -> Optional[str]:
         """None when no stream casting is requested (the default)."""
         return None if self.stream_dtype == "float32" else self.stream_dtype

@@ -60,6 +60,44 @@ def load_library() -> Optional[ctypes.CDLL]:
     return None
 
 
+def reset_library() -> None:
+    """Forget the cached probe result.
+
+    ``load_library`` latches failure so a missing .so is not re-probed on
+    every corpus load; a long-lived process that builds the library after
+    the first probe (``make -C native``) can call this to pick it up
+    without restarting."""
+    global _lib, _lib_failed
+    _lib = None
+    _lib_failed = False
+
+
+def _lowercased_blacklist(path: Optional[str]) -> Optional[str]:
+    """Pre-lowercase a blacklist file with Python semantics.
+
+    The Python pipeline lowercases blacklist entries with ``str.lower()``
+    (data/corpus.py), which also folds non-ASCII letters; the native
+    readers use ASCII ``std::tolower``.  Handing the native side an
+    already-folded copy keeps the two pipelines byte-identical for any
+    input.  Returns the path of a temporary file (or None/path unchanged
+    when there is nothing to fold)."""
+    if not path:
+        return path
+    import tempfile
+
+    with open(path, encoding="utf-8", errors="replace") as f:
+        raw = f.read()
+    lowered = "\n".join(line.lower() for line in raw.splitlines())
+    if lowered == raw.rstrip("\n"):
+        return path
+    tmp = tempfile.NamedTemporaryFile(
+        "w", suffix=".blacklist", delete=False, encoding="utf-8"
+    )
+    tmp.write(lowered + "\n")
+    tmp.close()
+    return tmp.name
+
+
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.corpus_build.restype = ctypes.c_void_p
     lib.corpus_build.argtypes = [
@@ -177,7 +215,7 @@ def build_corpus_native_indri(
     handle = lib.indri_build(
         repository_path.encode(),
         (cfg.document_list or "").encode(),
-        (cfg.term_blacklist or "").encode(),
+        (_lowercased_blacklist(cfg.term_blacklist) or "").encode(),
         window_size,
         cfg.max_vocabulary_size,
         cfg.min_document_frequency,
@@ -203,7 +241,7 @@ def build_corpus_native(
     handle = lib.corpus_build(
         trectext_path.encode(),
         (stopword_path or "").encode(),
-        (cfg.term_blacklist or "").encode(),
+        (_lowercased_blacklist(cfg.term_blacklist) or "").encode(),
         window_size,
         cfg.max_vocabulary_size,
         cfg.min_document_frequency,

@@ -339,8 +339,10 @@ def text_entity_cost_and_grads(
         # gathers (even though the *isolated* forward+backward microbench
         # reads faster at f32, 14.0 vs 18.6 ms — the savings land in the
         # downstream accumulate programs).  Masters stay float32.
-        word_table = word_table.astype(stream_dtype)
-        entity_table = entity_table.astype(stream_dtype)
+        from cunvsm_tpu.ops.cast import cast_table
+
+        word_table = cast_table(word_table, stream_dtype)
+        entity_table = cast_table(entity_table, stream_dtype)
 
     phrase_pre = gather_phrase_reprs(
         word_table, batch.features, feature_weights, window_sum_dtype
@@ -545,7 +547,9 @@ def text_entity_cost_and_grads_shared(
         and jnp.dtype(stream_dtype) != word_table.dtype
     )
     if cast:
-        word_table = word_table.astype(stream_dtype)
+        from cunvsm_tpu.ops.cast import cast_table
+
+        word_table = cast_table(word_table, stream_dtype)
 
     phrase_pre = gather_phrase_reprs(
         word_table, batch.features, feature_weights, window_sum_dtype
@@ -729,7 +733,9 @@ def text_entity_cost_and_grads_pooled(
         and jnp.dtype(stream_dtype) != word_table.dtype
     )
     if cast:
-        word_table = word_table.astype(stream_dtype)
+        from cunvsm_tpu.ops.cast import cast_table
+
+        word_table = cast_table(word_table, stream_dtype)
 
     phrase_pre = gather_phrase_reprs(
         word_table, batch.features, feature_weights, window_sum_dtype

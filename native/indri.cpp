@@ -61,6 +61,27 @@ std::string tag_value(const std::string& xml, const std::string& tag) {
     return a == std::string::npos ? "" : v.substr(a, b - a + 1);
 }
 
+std::vector<std::string> tag_values(const std::string& xml,
+                                    const std::string& tag) {
+    const std::string open = "<" + tag + ">";
+    const std::string close = "</" + tag + ">";
+    std::vector<std::string> out;
+    size_t pos = 0;
+    while (true) {
+        size_t lo = xml.find(open, pos);
+        if (lo == std::string::npos) break;
+        lo += open.size();
+        size_t hi = xml.find(close, lo);
+        if (hi == std::string::npos) break;
+        std::string v = xml.substr(lo, hi - lo);
+        size_t a = v.find_first_not_of(" \t\r\n");
+        size_t b = v.find_last_not_of(" \t\r\n");
+        out.push_back(a == std::string::npos ? "" : v.substr(a, b - a + 1));
+        pos = hi + close.size();
+    }
+    return out;
+}
+
 // -- RVL decoding ----------------------------------------------------------
 
 inline int64_t rvl_decode(const unsigned char* buf, size_t* pos) {
@@ -238,36 +259,130 @@ void* indri_build(const char* repository_path, const char* doclist_path,
 
     const std::string manifest = read_file(repo + "/manifest", &c->error);
     if (!c->error.empty()) return c;
-    const std::string index_name = tag_value(manifest, "index");
-    const std::string index_dir = repo + "/index/" + index_name;
-    const std::string info = read_file(index_dir + "/manifest", &c->error);
-    if (!c->error.empty()) return c;
+    // Every on-disk index listed in the repository manifest.  The
+    // reference FATALs on more than one (data_indri.cpp:43-45); here the
+    // per-index term dictionaries are merged (see data/indri.py, the
+    // semantic oracle for this reader).
+    const std::string idx_block = tag_value(manifest, "indexes");
+    std::vector<std::string> index_names =
+        tag_values(idx_block.empty() ? manifest : idx_block, "index");
+    if (index_names.empty()) {
+        c->error = "repository manifest lists no indexes";
+        return c;
+    }
 
-    const int64_t document_base = std::max<int64_t>(
-        1, atoll(tag_value(info, "document-base").c_str()));
-    const int64_t maximum_document =
-        atoll(tag_value(info, "maximum-document").c_str());
-    const int64_t document_count =
-        atoll(tag_value(info, "total-documents").c_str());
-    const int64_t frequent_count =
-        atoll(tag_value(info, "frequent-terms").c_str());
-
-    // Fixed-width per-document records.
-    const std::string dl = read_file(index_dir + "/documentLengths",
-                                     &c->error);
-    const std::string ds = read_file(index_dir + "/documentStatistics",
-                                     &c->error);
-    const std::string direct = read_file(index_dir + "/directFile",
-                                         &c->error);
-    if (!c->error.empty()) return c;
-    const size_t num_docs = dl.size() / 4;
-    std::vector<uint32_t> doc_lengths(num_docs);
-    std::memcpy(doc_lengths.data(), dl.data(), num_docs * 4);
     struct DocStat {
         uint64_t offset;
         int32_t byte_length, indexed_length, total_length, unique_terms;
     } __attribute__((packed));
-    const DocStat* stats = reinterpret_cast<const DocStat*>(ds.data());
+    struct IdxData {
+        int64_t document_base = 1;
+        int64_t maximum_document = 0;
+        int64_t frequent_count = 0;
+        std::vector<uint32_t> doc_lengths;
+        std::string direct;
+        std::string ds;  // raw documentStatistics bytes
+        std::vector<TermEntry> vocab;
+        std::vector<int32_t> local_to_merged;  // empty => identity
+        const DocStat* stats() const {
+            return reinterpret_cast<const DocStat*>(ds.data());
+        }
+    };
+
+    std::vector<IdxData> idxs;
+    for (const std::string& name : index_names) {
+        const std::string index_dir = repo + "/index/" + name;
+        const std::string info = read_file(index_dir + "/manifest",
+                                           &c->error);
+        if (!c->error.empty()) return c;
+        IdxData ix;
+        ix.document_base = std::max<int64_t>(
+            1, atoll(tag_value(info, "document-base").c_str()));
+        ix.maximum_document =
+            atoll(tag_value(info, "maximum-document").c_str());
+        ix.frequent_count =
+            atoll(tag_value(info, "frequent-terms").c_str());
+        const std::string dl = read_file(index_dir + "/documentLengths",
+                                         &c->error);
+        ix.ds = read_file(index_dir + "/documentStatistics", &c->error);
+        ix.direct = read_file(index_dir + "/directFile", &c->error);
+        if (!c->error.empty()) return c;
+        ix.doc_lengths.resize(dl.size() / 4);
+        std::memcpy(ix.doc_lengths.data(), dl.data(), dl.size());
+        parse_term_tree(read_file(index_dir + "/frequentString", &c->error),
+                        0, &ix.vocab);
+        parse_term_tree(
+            read_file(index_dir + "/infrequentString", &c->error),
+            ix.frequent_count, &ix.vocab);
+        if (!c->error.empty()) return c;
+        idxs.push_back(std::move(ix));
+    }
+    std::sort(idxs.begin(), idxs.end(),
+              [](const IdxData& a, const IdxData& b) {
+                  return a.document_base < b.document_base;
+              });
+    for (size_t i = 1; i < idxs.size(); ++i) {
+        if (idxs[i].document_base != idxs[i - 1].maximum_document) {
+            c->error = "non-contiguous document ranges across indexes";
+            return c;
+        }
+    }
+    const int64_t document_base = idxs.front().document_base;
+    const int64_t maximum_document = idxs.back().maximum_document;
+    int64_t document_count = 0;
+    for (const auto& ix : idxs)
+        document_count +=
+            static_cast<int64_t>(ix.doc_lengths.size());
+
+    // Merged vocabulary.  Single index: the index's own terms/ids.
+    // Multiple: merge by term string (cf/df summed), merged ids = 1-based
+    // byte-order alphabetical ranks (matching data/indri.py).
+    std::vector<TermEntry> vocab;
+    if (idxs.size() == 1) {
+        vocab = idxs[0].vocab;
+    } else {
+        std::unordered_map<std::string, size_t> merged_pos;
+        for (const auto& ix : idxs) {
+            for (const auto& e : ix.vocab) {
+                auto it = merged_pos.find(e.term);
+                if (it == merged_pos.end()) {
+                    merged_pos.emplace(e.term, vocab.size());
+                    vocab.push_back({e.term, 0, e.cf, e.df});
+                } else {
+                    vocab[it->second].cf += e.cf;
+                    vocab[it->second].df += e.df;
+                }
+            }
+        }
+        std::sort(vocab.begin(), vocab.end(),
+                  [](const TermEntry& a, const TermEntry& b) {
+                      return a.term < b.term;
+                  });
+        std::unordered_map<std::string, int64_t> term_to_merged;
+        for (size_t r = 0; r < vocab.size(); ++r) {
+            vocab[r].term_id = static_cast<int64_t>(r) + 1;
+            term_to_merged[vocab[r].term] = vocab[r].term_id;
+        }
+        for (auto& ix : idxs) {
+            int64_t max_local = 0;
+            for (const auto& e : ix.vocab)
+                max_local = std::max(max_local, e.term_id);
+            ix.local_to_merged.assign(max_local + 1, 0);
+            for (const auto& e : ix.vocab)
+                ix.local_to_merged[e.term_id] =
+                    static_cast<int32_t>(term_to_merged[e.term]);
+        }
+    }
+
+    auto owner = [&](int64_t docid) -> const IdxData& {
+        size_t i = idxs.size() - 1;
+        while (i > 0 && idxs[i].document_base > docid) --i;
+        return idxs[i];
+    };
+    auto doc_length = [&](int64_t docid) -> uint32_t {
+        const IdxData& ix = owner(docid);
+        return ix.doc_lengths[docid - ix.document_base];
+    };
 
     // Docno lookups.
     std::vector<std::pair<std::string, std::string>> fwd;
@@ -305,7 +420,7 @@ void* indri_build(const char* repository_path, const char* doclist_path,
     std::vector<int64_t> kept;
     for (int64_t d : candidate_ids) {
         if (static_cast<long>(kept.size()) >= wanted) break;
-        if (static_cast<int>(doc_lengths[d - document_base]) >= window_size)
+        if (static_cast<int>(doc_length(d)) >= window_size)
             kept.push_back(d);
     }
 
@@ -326,13 +441,6 @@ void* indri_build(const char* repository_path, const char* doclist_path,
         }
         blacklist.insert(lower);
     }
-    std::vector<TermEntry> vocab;
-    parse_term_tree(read_file(index_dir + "/frequentString", &c->error), 0,
-                    &vocab);
-    parse_term_tree(read_file(index_dir + "/infrequentString", &c->error),
-                    frequent_count, &vocab);
-    if (!c->error.empty()) return c;
-
     long max_df = static_cast<long>(max_df_raw);
     if (max_df_raw > 0.0 && max_df_raw <= 1.0)
         max_df = static_cast<long>(std::ceil(document_count * max_df_raw));
@@ -355,17 +463,26 @@ void* indri_build(const char* repository_path, const char* doclist_path,
     if (max_vocab > 0 && static_cast<long>(candidates.size()) > max_vocab)
         candidates.erase(candidates.begin(), candidates.end() - max_vocab);
 
-    // Decode the term list of one document.
-    const unsigned char* dbytes =
-        reinterpret_cast<const unsigned char*>(direct.data());
+    // Decode the term list of one document (merged term-id space).
     auto term_list = [&](int64_t docid, std::vector<int64_t>* out) {
         out->clear();
-        size_t pos = stats[docid - document_base].offset;
+        const IdxData& ix = owner(docid);
+        const unsigned char* dbytes =
+            reinterpret_cast<const unsigned char*>(ix.direct.data());
+        size_t pos = ix.stats()[docid - ix.document_base].offset;
         const int64_t term_count = rvl_decode(dbytes, &pos);
         rvl_decode(dbytes, &pos);  // field count
         out->reserve(term_count);
-        for (int64_t i = 0; i < term_count; ++i)
-            out->push_back(rvl_decode(dbytes, &pos));
+        for (int64_t i = 0; i < term_count; ++i) {
+            int64_t t = rvl_decode(dbytes, &pos);
+            if (!ix.local_to_merged.empty()) {
+                t = (t >= 0 &&
+                     t < static_cast<int64_t>(ix.local_to_merged.size()))
+                        ? ix.local_to_merged[t]
+                        : 0;
+            }
+            out->push_back(t);
+        }
     };
 
     // Subset frequency recount (data_indri.cpp:592-618).
@@ -417,7 +534,7 @@ void* indri_build(const char* repository_path, const char* doclist_path,
             }
         }
         c->offsets.push_back(static_cast<int64_t>(c->tokens.size()));
-        c->index_lengths.push_back(doc_lengths[d - document_base]);
+        c->index_lengths.push_back(doc_length(d));
         c->docnos.push_back(docnos[d]);
         c->index_doc_ids.push_back(d);
     }

@@ -43,6 +43,7 @@ def main(argv=None):
     p.add_argument("--window_sum_dtype", default="float32",
                    choices=("float32", "bfloat16"))
     p.add_argument("--negative_pool_size", type=int, default=0)
+    p.add_argument("--negative_pool_stride", type=int, default=1)
     p.add_argument("--seed", type=int, default=1)
     args = p.parse_args(argv)
     logging.basicConfig(level="INFO", format="%(asctime)s %(message)s")
@@ -126,6 +127,7 @@ def main(argv=None):
         stream_dtype=args.stream_dtype,
         window_sum_dtype=args.window_sum_dtype,
         negative_pool_size=args.negative_pool_size,
+        negative_pool_stride=args.negative_pool_stride,
     )
     prefix = os.path.join(args.workdir, "nvsm")
 

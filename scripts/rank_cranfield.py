@@ -51,6 +51,7 @@ def main(argv=None):
     p.add_argument("--negative_pool_size", type=int, default=0,
                    help="rolled-pool negative sampling (TPU-native mode "
                         "keeping the exact per-example loss)")
+    p.add_argument("--negative_pool_stride", type=int, default=1)
     p.add_argument("--window_sum_dtype", default="float32",
                    choices=("float32", "bfloat16"))
     p.add_argument("--seed", type=int, default=1)
@@ -138,6 +139,7 @@ def main(argv=None):
         num_random_entities=args.num_negatives,
         shared_negatives=args.shared_negatives,
         negative_pool_size=args.negative_pool_size,
+        negative_pool_stride=args.negative_pool_stride,
         regularization_lambda=1e-2,
         learning_rate=1e-3,
         update_method=UpdateMethod.ADAM,

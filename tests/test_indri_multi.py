@@ -139,3 +139,50 @@ def test_non_contiguous_ranges_rejected(tmp_path):
     )
     with pytest.raises(ValueError, match="non-contiguous"):
         IndriIndex(bad)
+
+
+def test_native_reader_matches_python_on_multi_index(repos):
+    """The C++ reader (native/indri.cpp) must produce the identical packed
+    corpus from a multi-index repository (the Python pipeline is the
+    semantic oracle — same contract as tests/test_native.py)."""
+    from cunvsm_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native library not built (make -C native)")
+    _, multi = repos
+    cm = build_corpus_from_indri(multi, _cfg(multi), window_size=3)
+    cn = native.build_corpus_native_indri(multi, _cfg(multi), window_size=3)
+    assert cn.vocab.terms == cm.vocab.terms
+    np.testing.assert_array_equal(cn.vocab.term_freq, cm.vocab.term_freq)
+    np.testing.assert_array_equal(
+        cn.vocab.index_term_ids, cm.vocab.index_term_ids
+    )
+    np.testing.assert_array_equal(cn.tokens, cm.tokens)
+    np.testing.assert_array_equal(cn.doc_offsets, cm.doc_offsets)
+    np.testing.assert_array_equal(cn.index_lengths, cm.index_lengths)
+    assert cn.docnos == cm.docnos
+    np.testing.assert_array_equal(cn.index_doc_ids, cm.index_doc_ids)
+
+
+def test_native_reader_matches_python_with_document_list(repos):
+    from cunvsm_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native library not built (make -C native)")
+    _, multi = repos
+    cfg = _cfg(multi)
+    import dataclasses
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".docs",
+                                     delete=False) as f:
+        f.write("doc-e\ndoc-b\n")
+        doclist = f.name
+    cfg = dataclasses.replace(cfg, document_list=doclist)
+    cm = build_corpus_from_indri(
+        multi, cfg, window_size=3, document_list=["doc-e", "doc-b"]
+    )
+    cn = native.build_corpus_native_indri(multi, cfg, window_size=3)
+    assert cn.docnos == cm.docnos == ["doc-e", "doc-b"]
+    np.testing.assert_array_equal(cn.tokens, cm.tokens)
+    np.testing.assert_array_equal(cn.vocab.term_freq, cm.vocab.term_freq)
