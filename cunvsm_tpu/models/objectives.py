@@ -628,10 +628,11 @@ def text_entity_cost_and_grads_shared(
             ),
         ),
         entity=(
+            # Weight-free rank-1 label rows (see the pooled variant).
             SparseGrad(
-                grad=projections,
+                grad=-g_dots_raw[:, :1] * projections.astype(acc_dtype),
                 indices=batch.labels[:, None],
-                weights=-g_dots_raw[:, :1],
+                weights=None,
             ),
             SparseGrad(
                 grad=-g_negs_rows.astype(acc_dtype),
@@ -836,10 +837,14 @@ def text_entity_cost_and_grads_pooled(
             ),
         ),
         entity=(
+            # Rank-1 label rows with the multiplier folded into the grad
+            # (window 1, so w*g folds exactly): every entity descriptor is
+            # then weight-free and the accumulation sort drops its third
+            # operand (optim/updates.py).
             SparseGrad(
-                grad=projections,
+                grad=-g_dots_raw[:, :1] * projections.astype(acc_dtype),
                 indices=batch.labels[:, None],
-                weights=-g_dots_raw[:, :1],
+                weights=None,
             ),
             SparseGrad(
                 grad=-pool_grad.astype(acc_dtype),

@@ -29,12 +29,14 @@ past that wall is to issue *no scatter at all*:
     is ~sqrt(N / L) ulp for a segment of L updates — orders of magnitude
     below the bfloat16 quantization already present in the stream.
 
-Cost model at the canonical NVSM shapes (B=51200, W=10, V=65536, d=300):
-two ~578k single-operand uint32 sorts, one 578k-row gather of the
-per-instance gradient rows (the same gather the scatter path performs),
-~44 GFLOP of triangular matmul (sub-ms on the MXU), one f32 chunk-prefix
-write, and two 65k-row gathers — measured end-to-end ~3-4 ms cheaper than
-the sorted-scatter path it replaces (see PERFORMANCE.md round 3).
+Measured on v5e (round 3, PERFORMANCE.md): ~21.1-21.9 ms/step vs the
+sorted scatter's 20.5-20.8 — XLA inserts two full-stream layout copies
+around the [C, C] x [Nc, C, d] prefix contraction (~3.6 ms) that neither
+a chunk-batched dot (+2.3 ms) nor a chunk-transposed gather feeding a
+plain 2-D GEMM (catastrophic: 54 ms) could remove on this toolchain.
+OPT-IN via CUNVSM_PREFIX_DIFF=1: at near-parity cost it replaces the
+serial scatter emitter entirely, which is the path to revisit first when
+a toolchain changes the scatter or layout-assignment behavior.
 
 Constraints (checked by ``prefix_diff_applicable``): row ids fit 16 bits,
 instance ids fit strictly below 0xFFFF (the sentinel marker), a single
@@ -56,7 +58,7 @@ def prefix_diff_applicable(
     n_inst: int, window: int, num_rows: int, weights, accum_dtype
 ) -> bool:
     """Static gate for the prefix-diff path (see module docstring)."""
-    if os.environ.get("CUNVSM_PREFIX_DIFF", "1") == "0":
+    if os.environ.get("CUNVSM_PREFIX_DIFF", "0") != "1":
         return False
     n = n_inst * window
     return (

@@ -437,18 +437,20 @@ def test_uniform_feature_weights_flag_matches_explicit_ones():
         return (np.asarray(p.word_reprs), np.asarray(p.entity_reprs),
                 float(cost))
 
-    explicit = run(False)
-    uniform = run(True)
-    np.testing.assert_allclose(explicit[0], uniform[0], rtol=1e-5, atol=1e-6)
-    np.testing.assert_array_equal(explicit[1], uniform[1])
-    assert explicit[2] == uniform[2]
-
     import os
 
-    os.environ["CUNVSM_PREFIX_DIFF"] = "0"
-    try:
-        uniform_scatter = run(True)
-    finally:
-        del os.environ["CUNVSM_PREFIX_DIFF"]
+    explicit = run(False)
+    uniform_scatter = run(True)
     np.testing.assert_array_equal(explicit[0], uniform_scatter[0])
     np.testing.assert_array_equal(explicit[1], uniform_scatter[1])
+    assert explicit[2] == uniform_scatter[2]
+
+    os.environ["CUNVSM_PREFIX_DIFF"] = "1"
+    try:
+        uniform_prefix = run(True)
+    finally:
+        del os.environ["CUNVSM_PREFIX_DIFF"]
+    np.testing.assert_allclose(
+        explicit[0], uniform_prefix[0], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(explicit[1], uniform_prefix[1])

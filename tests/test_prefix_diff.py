@@ -21,6 +21,13 @@ from cunvsm_tpu.ops.prefix_diff import (
 from cunvsm_tpu.optim.updates import _sorted_segment_accumulate
 
 
+@pytest.fixture(autouse=True)
+def _enable_prefix_diff(monkeypatch):
+    # The path is opt-in (near-parity on the current v5e toolchain,
+    # PERFORMANCE.md); tests force it on.
+    monkeypatch.setenv("CUNVSM_PREFIX_DIFF", "1")
+
+
 def _reference(grad, indices, num_rows):
     out = np.zeros((num_rows, grad.shape[1]), dtype=np.float64)
     for i in range(indices.shape[0]):
@@ -95,7 +102,13 @@ def test_applicability_gate():
     try:
         assert not prefix_diff_applicable(100, 10, 64, None, None)
     finally:
-        del os.environ["CUNVSM_PREFIX_DIFF"]
+        os.environ["CUNVSM_PREFIX_DIFF"] = "1"
+    # Opt-in: without the env the gate stays closed.
+    del os.environ["CUNVSM_PREFIX_DIFF"]
+    try:
+        assert not prefix_diff_applicable(100, 10, 64, None, None)
+    finally:
+        os.environ["CUNVSM_PREFIX_DIFF"] = "1"
 
 
 def test_accumulate_dispatch_equivalence(rng):
