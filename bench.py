@@ -104,7 +104,10 @@ def main():
         uniform_feature_weights=True,
         # Rolled-pool negatives: exact per-example loss (k=10), GEMM-
         # structured negative compute; Cranfield-validated at P=2048.
-        negative_pool_size=0 if args.reference_exact else 2048,
+        # -1 = AUTO, the shipped TrainConfig default, which resolves to
+        # P=2048 / stride 205 at this batch size — the bench measures the
+        # literal trainer default.
+        negative_pool_size=0 if args.reference_exact else -1,
     )
 
     key = jax.random.PRNGKey(0)

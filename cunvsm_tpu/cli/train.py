@@ -118,13 +118,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Batch-shared negative sampling (TPU-native NCE "
                         "formulation: negative dots/gradients become MXU "
                         "GEMMs; requires sgd or full_adam).")
-    p.add_argument("--negative_pool_size", type=int, default=0,
+    p.add_argument("--negative_pool_size", type=int, default=-1,
                    help="Rolled-pool negative sampling: per-step pool of P "
                         "uniform negatives, instance b uses cyclic slots "
                         "(b %% P)+j — exact per-example loss with the GEMM "
                         "structure of shared negatives (requires sgd or "
                         "full_adam and batch %% P == 0).")
-    p.add_argument("--negative_pool_stride", type=int, default=1,
+    p.add_argument("--negative_pool_stride", type=int, default=0,
                    help="Slot stride of the rolled-pool windows "
                         "(TrainConfig.negative_pool_stride): a stride "
                         ">= num negatives with gcd(stride, P) = 1 "

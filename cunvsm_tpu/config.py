@@ -135,27 +135,35 @@ class TrainConfig:
     # full_adam) and no entity L2 normalization.
     shared_negatives: bool = False
 
-    # Rolled-pool negative sampling (> 0 enables; mutually exclusive with
-    # shared_negatives): draw a pool of this many uniform negative ids per
-    # step; instance b scores against the k = num_random_entities pool
-    # slots (b % P)+j (cyclic).  Keeps the reference's exact per-example
-    # loss (k uniform negatives, same bias correction) while the negative
-    # dots/gradients stay batched GEMMs and the entity-side scatter is
-    # B + P rows instead of B * (k+1).  Requires batch_size % P == 0,
-    # P >= k, an accumulate-only optimizer, and no entity L2
-    # normalization.
-    negative_pool_size: int = 0
+    # Rolled-pool negative sampling (mutually exclusive with
+    # shared_negatives): draw a pool of P uniform negative ids per step;
+    # instance b scores against the k = num_random_entities pool slots
+    # (b % P) + j*stride (cyclic).  Keeps the reference's exact
+    # per-example loss (k uniform negatives, same bias correction) while
+    # the negative dots/gradients stay batched GEMMs and the entity-side
+    # scatter is B + P rows instead of B * (k+1).  Values:
+    #   -1 (default) AUTO — the TPU-native execution layout: the largest
+    #      pool in {2048, 1024, ..., 64} dividing batch_size, when the
+    #      optimizer is accumulate-only (sgd / full_adam), entity L2
+    #      normalization is off, and shared_negatives is off; otherwise
+    #      reference-exact per-instance sampling.  Quality-validated on
+    #      Cranfield (PERFORMANCE.md quality table).
+    #    0 reference-exact per-instance sampling, always.
+    #   >0 explicit pool size; requires batch_size % P == 0, P >= k, an
+    #      accumulate-only optimizer, and no entity L2 normalization.
+    negative_pool_size: int = -1
 
     # Slot stride of the rolled-pool windows: instance with residue r
-    # scores against pool slots (r + j*stride) % P for j in [0, k).  The
-    # default 1 gives consecutive windows (adjacent residues overlap k-1
-    # slots); a stride S with gcd(S, P) = 1 and S >= k spreads each pool
-    # row's k consuming windows across distant residues, decorrelating the
-    # per-step negative-gradient noise between instances at zero cost (the
-    # fold stays k rolls, by j*stride instead of j).  The per-example loss
-    # distribution is unchanged: every instance still scores k distinct
-    # iid-uniform pool slots.
-    negative_pool_stride: int = 1
+    # scores against pool slots (r + j*stride) % P for j in [0, k).
+    # 0 (default) AUTO: about P // k, adjusted upward until the k slots
+    # are distinct mod P — spreads each pool row's k consuming windows
+    # across distant residues, decorrelating the per-step
+    # negative-gradient noise between instances at zero cost (the fold
+    # stays k rolls, by j*stride instead of j).  1 gives consecutive
+    # windows (adjacent residues overlap k-1 slots).  The per-example
+    # loss distribution is unchanged for any valid stride: every
+    # instance scores k distinct iid-uniform pool slots.
+    negative_pool_stride: int = 0
 
     # Static promise that every batch's feature_weights are all ones (the
     # UNIFORM feature-weighting strategy, the reference's default and the

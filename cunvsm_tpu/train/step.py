@@ -58,31 +58,76 @@ def _accumulate_only_optimizer(cfg: TrainConfig) -> bool:
     )
 
 
+_AUTO_POOL_CANDIDATES = (2048, 1024, 512, 256, 128, 64)
+
+
+def resolve_negative_sampling(cfg: TrainConfig, desc: ModelDesc,
+                              batch_size: int):
+    """Resolve (pool_size, pool_stride) for a concrete batch size.
+
+    ``negative_pool_size=-1`` (the default) selects the TPU-native
+    rolled-pool layout automatically — the largest candidate pool dividing
+    the batch — whenever the mode's requirements hold (accumulate-only
+    optimizer, no entity L2 normalization, no shared negatives); the
+    per-example loss is exactly the reference's either way, so the auto
+    choice only changes the execution layout and the cross-instance
+    correlation of the draws (quality table in PERFORMANCE.md).  Returns
+    (0, 1) for per-instance sampling."""
+    k = cfg.num_random_entities
+    p = cfg.negative_pool_size
+    if p == -1:
+        if (
+            cfg.shared_negatives
+            or not _accumulate_only_optimizer(cfg)
+            or desc.l2_normalize_entity_reprs
+        ):
+            return 0, 1
+        p = next(
+            (c for c in _AUTO_POOL_CANDIDATES
+             if batch_size % c == 0 and c >= k),
+            0,
+        )
+    if p <= 0:
+        return 0, 1
+    s = cfg.negative_pool_stride
+    if s == 0:
+        # About P // k, rounded up to odd (coprime with power-of-two
+        # pools), adjusted until the k slots are distinct mod P.
+        s = max(p // max(k, 1), 1)
+        if s % 2 == 0:
+            s += 1
+        while len({(j * s) % p for j in range(k)}) != k:
+            s += 2
+    return p, s
+
+
 def _text_entity_grads(params, batch, key, desc, cfg, num_entities=None):
     # num_entities overrides the sampling range when the entity table is
     # padded (e.g. to a multiple of the mesh model axis): padded rows must
     # never be sampled as negatives.
-    if cfg.shared_negatives and cfg.negative_pool_size:
+    if cfg.shared_negatives and cfg.negative_pool_size > 0:
         raise ValueError(
             "shared_negatives and negative_pool_size are mutually exclusive"
         )
-    if cfg.shared_negatives or cfg.negative_pool_size:
+    pool, pool_stride = resolve_negative_sampling(
+        cfg, desc, batch.features.shape[0]
+    )
+    if cfg.shared_negatives or pool:
         if not _accumulate_only_optimizer(cfg):
             raise ValueError(
                 "shared/pooled negatives require an accumulate-only "
                 "optimizer (sgd or full_adam)"
             )
-    if cfg.negative_pool_size:
+    if pool:
         pool_ids = obj.sample_negative_pool(
-            key, num_entities or params.num_entities,
-            cfg.negative_pool_size,
+            key, num_entities or params.num_entities, pool
         )
         cost, _, grads = obj.text_entity_cost_and_grads_pooled(
             params, batch, pool_ids, cfg.num_random_entities, desc,
             stream_dtype=cfg.resolved_stream_dtype(),
             uniform_feature_weights=cfg.uniform_feature_weights,
             window_sum_dtype=cfg.resolved_window_sum_dtype(),
-            pool_stride=cfg.negative_pool_stride,
+            pool_stride=pool_stride,
         )
         return cost, grads
     if cfg.shared_negatives:

@@ -54,7 +54,7 @@ cfg = TrainConfig(
     uniform_feature_weights=variant.get("uniform", True),
     window_sum_dtype=variant.get("window_sum_dtype", "float32"),
     shared_negatives=variant.get("shared", False),
-    negative_pool_size=variant.get("pool", 0),
+    negative_pool_size=variant.get("pool", 0),  # explicit: 0 = per-instance
     negative_pool_stride=variant.get("pool_stride", 1),
 )
 

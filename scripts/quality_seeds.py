@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 CONFIGS = {
     # name -> TrainConfig overrides (all on bf16 streams + bf16 window sums)
-    "perinst": dict(),
+    "perinst": dict(negative_pool_size=0),
     "pool2048": dict(negative_pool_size=2048),
     "pool2048_s205": dict(negative_pool_size=2048, negative_pool_stride=205),
     "pool5120": dict(negative_pool_size=5120),

@@ -42,8 +42,8 @@ def main(argv=None):
                    choices=("float32", "bfloat16"))
     p.add_argument("--window_sum_dtype", default="float32",
                    choices=("float32", "bfloat16"))
-    p.add_argument("--negative_pool_size", type=int, default=0)
-    p.add_argument("--negative_pool_stride", type=int, default=1)
+    p.add_argument("--negative_pool_size", type=int, default=-1)
+    p.add_argument("--negative_pool_stride", type=int, default=0)
     p.add_argument("--seed", type=int, default=1)
     args = p.parse_args(argv)
     logging.basicConfig(level="INFO", format="%(asctime)s %(message)s")

@@ -48,10 +48,10 @@ def main(argv=None):
     p.add_argument("--shared_negatives", action="store_true",
                    help="batch-shared negative sampling (TPU-native mode)")
     p.add_argument("--num_negatives", type=int, default=10)
-    p.add_argument("--negative_pool_size", type=int, default=0,
+    p.add_argument("--negative_pool_size", type=int, default=-1,
                    help="rolled-pool negative sampling (TPU-native mode "
                         "keeping the exact per-example loss)")
-    p.add_argument("--negative_pool_stride", type=int, default=1)
+    p.add_argument("--negative_pool_stride", type=int, default=0)
     p.add_argument("--window_sum_dtype", default="float32",
                    choices=("float32", "bfloat16"))
     p.add_argument("--seed", type=int, default=1)

@@ -575,3 +575,68 @@ class TestPooledNegatives:
             make_train_step(desc, bad, jit=False)(
                 params, opt.init(params), batch, jax.random.PRNGKey(0)
             )
+
+
+class TestNegativeSamplingResolution:
+    """Auto resolution of the rolled-pool layout (TrainConfig default -1)."""
+
+    def _cfg(self, **kw):
+        from cunvsm_tpu.config import AdamConfig, AdamMode
+        from cunvsm_tpu.config import TrainConfig, UpdateMethod
+
+        base = dict(
+            update_method=UpdateMethod.ADAM,
+            adam=AdamConfig(mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
+            num_random_entities=10,
+        )
+        base.update(kw)
+        return TrainConfig(**base)
+
+    def test_auto_selects_pool_and_odd_stride(self):
+        from cunvsm_tpu.train.step import resolve_negative_sampling
+
+        desc = ModelDesc()
+        p, s = resolve_negative_sampling(self._cfg(), desc, 51200)
+        assert p == 2048
+        assert s == 205  # P//k rounded up to odd; matches the validated run
+        assert len({(j * s) % p for j in range(10)}) == 10
+        # Smaller batches pick the largest dividing candidate.
+        p, s = resolve_negative_sampling(self._cfg(), desc, 1024)
+        assert p == 1024
+        p, s = resolve_negative_sampling(self._cfg(), desc, 320)
+        assert p == 64
+        # Batch with no candidate divisor: per-instance.
+        p, s = resolve_negative_sampling(self._cfg(), desc, 100)
+        assert (p, s) == (0, 1)
+
+    def test_auto_respects_mode_requirements(self):
+        from cunvsm_tpu.config import UpdateMethod
+        from cunvsm_tpu.train.step import resolve_negative_sampling
+
+        desc = ModelDesc()
+        # Non-accumulate-only optimizer: per-instance.
+        p, _ = resolve_negative_sampling(
+            self._cfg(update_method=UpdateMethod.ADAGRAD), desc, 51200
+        )
+        assert p == 0
+        # Entity L2 normalization: per-instance.
+        p, _ = resolve_negative_sampling(
+            self._cfg(), ModelDesc(l2_normalize_entity_reprs=True), 51200
+        )
+        assert p == 0
+        # Shared negatives win over auto.
+        p, _ = resolve_negative_sampling(
+            self._cfg(shared_negatives=True), desc, 51200
+        )
+        assert p == 0
+        # Explicit 0 forces reference-exact per-instance sampling.
+        p, _ = resolve_negative_sampling(
+            self._cfg(negative_pool_size=0), desc, 51200
+        )
+        assert p == 0
+        # Explicit pool + explicit stride pass through.
+        p, s = resolve_negative_sampling(
+            self._cfg(negative_pool_size=256, negative_pool_stride=1),
+            desc, 51200,
+        )
+        assert (p, s) == (256, 1)
