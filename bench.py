@@ -20,7 +20,7 @@ sampler's seed spread; see the quality table in PERFORMANCE.md).  The
 reference-exact per-instance sampling path (negative_pool_size=0)
 measures ~40 ms/step vs ~21 ms here.
 
-Measurement methodology: K steps are chained inside one jit'd lax.scan and
+Measurement methodology: K=40 steps are chained inside one jit'd lax.scan and
 the timing barrier is a device-to-host fetch of the final costs — on this
 environment's remote-TPU tunnel, block_until_ready returns before execution
 finishes and per-step dispatch costs milliseconds, so naive per-step timing
@@ -48,7 +48,7 @@ BASELINE_PAIRS_PER_SEC = 500_000.0
 
 NUM_WORDS = 65536
 NUM_ENTITIES = 262144  # collection scale (~Robust04 / 0.5M order)
-SCAN_STEPS = 20
+SCAN_STEPS = 40
 
 
 def main():
