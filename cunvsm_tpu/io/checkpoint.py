@@ -190,14 +190,14 @@ class AsyncCheckpointWriter:
 
     At the canonical collection-scale configuration (262k x 256 entity
     table, dense full_adam moments) the per-epoch resume npz alone is
-    ~0.9 GB; writing it synchronously stalls training for seconds per
-    epoch.  This writer snapshots device arrays to host memory on the
-    caller's thread (the unavoidable device-to-host transfer) and performs
-    every file write on a single daemon worker in submission order, so the
-    stall shrinks to the transfer while serialization overlaps the next
-    epoch.  Bounded queue (one epoch of lag max); worker exceptions
-    propagate on the next ``save_*``/``wait`` — the same error contract as
-    the data Prefetcher (data/sources.py)."""
+    ~0.9 GB.  The caller's thread pays only a *device-side copy* of every
+    array (milliseconds at HBM bandwidth; the copy breaks aliasing with
+    the training step's donated buffers, so the next step can run
+    immediately); the device-to-host transfer and all file writes happen
+    on a single daemon worker in submission order.  Bounded queue (one
+    epoch of lag max); worker exceptions propagate on the next
+    ``save_*``/``wait`` — the same error contract as the data Prefetcher
+    (data/sources.py)."""
 
     def __init__(self, max_pending: int = 2):
         import queue
@@ -233,10 +233,17 @@ class AsyncCheckpointWriter:
     @staticmethod
     def _snapshot(tree):
         import jax
+        import jax.numpy as jnp
 
-        return jax.tree_util.tree_map(
-            lambda leaf: np.asarray(leaf), tree
-        )
+        def snap(leaf):
+            if isinstance(leaf, jax.Array):
+                # Device-side copy: asynchronous, HBM-bandwidth fast, and
+                # independent of the donated training buffers.  The worker
+                # pulls it to the host (np.asarray in the save functions).
+                return jnp.copy(leaf)
+            return np.asarray(leaf)
+
+        return jax.tree_util.tree_map(snap, tree)
 
     def save_model(self, params: ModelParams, prefix: str, epoch,
                    overwrite: bool = False):

@@ -96,6 +96,9 @@ def resolve_negative_sampling(cfg: TrainConfig, desc: ModelDesc,
         s = max(p // max(k, 1), 1)
         if s % 2 == 0:
             s += 1
+        s %= p
+        if s == 0:
+            s = 1
         while len({(j * s) % p for j in range(k)}) != k:
             s += 2
     return p, s

@@ -366,6 +366,29 @@ def train_model(
     train_start = time.time()
     batches_per_epoch = max(source.batches_per_epoch(), 1)
 
+    if kind == ObjectiveKind.TEXT_ENTITY or kind in (
+        ObjectiveKind.TEXT_ENTITY_ENTITY_ENTITY,
+        ObjectiveKind.TEXT_ENTITY_TERM_TERM,
+    ):
+        from cunvsm_tpu.train.step import resolve_negative_sampling
+
+        pool, stride = resolve_negative_sampling(cfg, desc, cfg.batch_size)
+        if cfg.shared_negatives:
+            logger.info("Negative sampling: batch-shared (k=%d).",
+                        cfg.num_random_entities)
+        elif pool:
+            logger.info(
+                "Negative sampling: rolled pool P=%d stride=%d "
+                "(exact per-example loss, k=%d)%s.",
+                pool, stride, cfg.num_random_entities,
+                " [auto]" if cfg.negative_pool_size == -1 else "",
+            )
+        else:
+            logger.info(
+                "Negative sampling: per-instance (reference-exact, k=%d).",
+                cfg.num_random_entities,
+            )
+
     if check_gradients:
         from cunvsm_tpu.train.gradcheck import check_gradients as run_check
 
