@@ -392,6 +392,7 @@ class IndriIndex:
         self._vocab: Optional[List[TermEntry]] = None
         self._local_to_merged: Optional[List[np.ndarray]] = None
         self._docnos: Optional[Dict[int, str]] = None
+        self._doc_stats_cache: Optional[np.ndarray] = None
 
     @property
     def unique_terms(self) -> int:
@@ -401,12 +402,17 @@ class IndriIndex:
 
     @property
     def _doc_stats(self) -> np.ndarray:
-        """Concatenated per-document statistics records, in doc-id order.
+        """Concatenated per-document statistics records, in doc-id order
+        (cached — callers index it in per-document loops).
 
         The length/unique fields are meaningful repository-wide; offsets
         remain local to each index's own direct file.
         """
-        return np.concatenate([ix._doc_stats for ix in self._indexes])
+        if self._doc_stats_cache is None:
+            self._doc_stats_cache = np.concatenate(
+                [ix._doc_stats for ix in self._indexes]
+            )
+        return self._doc_stats_cache
 
     @property
     def max_term_id(self) -> int:

@@ -212,19 +212,24 @@ def build_corpus_native_indri(
     lib = load_library()
     if lib is None:
         raise RuntimeError("native library not built; run `make -C native`")
-    handle = lib.indri_build(
-        repository_path.encode(),
-        (cfg.document_list or "").encode(),
-        (_lowercased_blacklist(cfg.term_blacklist) or "").encode(),
-        window_size,
-        cfg.max_vocabulary_size,
-        cfg.min_document_frequency,
-        float(cfg.max_document_frequency),
-        int(cfg.include_oov),
-        int(cfg.include_digits),
-        cfg.documents_cutoff,
-    )
-    return _corpus_from_handle(lib, handle, cfg, window_size)
+    blacklist = _lowercased_blacklist(cfg.term_blacklist)
+    try:
+        handle = lib.indri_build(
+            repository_path.encode(),
+            (cfg.document_list or "").encode(),
+            (blacklist or "").encode(),
+            window_size,
+            cfg.max_vocabulary_size,
+            cfg.min_document_frequency,
+            float(cfg.max_document_frequency),
+            int(cfg.include_oov),
+            int(cfg.include_digits),
+            cfg.documents_cutoff,
+        )
+        return _corpus_from_handle(lib, handle, cfg, window_size)
+    finally:
+        if blacklist and blacklist != cfg.term_blacklist:
+            os.unlink(blacklist)
 
 
 def build_corpus_native(
@@ -238,16 +243,21 @@ def build_corpus_native(
         raise RuntimeError(
             "native library not built; run `make -C native`"
         )
-    handle = lib.corpus_build(
-        trectext_path.encode(),
-        (stopword_path or "").encode(),
-        (_lowercased_blacklist(cfg.term_blacklist) or "").encode(),
-        window_size,
-        cfg.max_vocabulary_size,
-        cfg.min_document_frequency,
-        float(cfg.max_document_frequency),
-        int(cfg.include_oov),
-        int(cfg.include_digits),
-        cfg.documents_cutoff,
-    )
-    return _corpus_from_handle(lib, handle, cfg, window_size)
+    blacklist = _lowercased_blacklist(cfg.term_blacklist)
+    try:
+        handle = lib.corpus_build(
+            trectext_path.encode(),
+            (stopword_path or "").encode(),
+            (blacklist or "").encode(),
+            window_size,
+            cfg.max_vocabulary_size,
+            cfg.min_document_frequency,
+            float(cfg.max_document_frequency),
+            int(cfg.include_oov),
+            int(cfg.include_digits),
+            cfg.documents_cutoff,
+        )
+        return _corpus_from_handle(lib, handle, cfg, window_size)
+    finally:
+        if blacklist and blacklist != cfg.term_blacklist:
+            os.unlink(blacklist)

@@ -58,10 +58,16 @@ def save_model_hdf5(
     params: ModelParams, prefix: str, epoch, overwrite: bool = False
 ) -> str:
     path = checkpoint_path(prefix, epoch)
-    # 'w-' == H5F_ACC_EXCL: refuse to overwrite (lse_hdf5_inl.h:25).
+    # H5F_ACC_EXCL semantics (lse_hdf5_inl.h:25): refuse to overwrite.
     # ``overwrite`` is used by resumed runs re-dumping an epoch whose HDF5
-    # landed before the crash cut off the resume state.
-    with h5py.File(path, "w" if overwrite else "w-") as f:
+    # landed before the crash cut off the resume state.  The file is
+    # written to a temp name and renamed so a crash mid-write (the async
+    # writer stretches that window) can never leave a truncated .hdf5 at
+    # the contract path.
+    if not overwrite and os.path.exists(path):
+        raise FileExistsError(path)
+    tmp_path = path + ".tmp"
+    with h5py.File(tmp_path, "w") as f:
         word = np.asarray(params.word_reprs, dtype=np.float32)
         entity = np.asarray(params.entity_reprs, dtype=np.float32)
         f.create_dataset(WORD_REPRS, data=word, chunks=_table_chunks(word))
@@ -75,6 +81,7 @@ def save_model_hdf5(
             BIAS,
             data=np.asarray(params.transform_b, dtype=np.float32).reshape(1, -1),
         )
+    os.replace(tmp_path, path)
     return path
 
 
@@ -196,8 +203,12 @@ class AsyncCheckpointWriter:
     immediately); the device-to-host transfer and all file writes happen
     on a single daemon worker in submission order.  Bounded queue (one
     epoch of lag max); worker exceptions propagate on the next
-    ``save_*``/``wait`` — the same error contract as the data Prefetcher
-    (data/sources.py)."""
+    ``save_*``/``wait`` (the FIRST failure is kept) — the same error
+    contract as the data Prefetcher (data/sources.py).  Crash safety: both
+    the .hdf5 and the resume .npz are written to temp names and renamed,
+    so a process death mid-write (the async window) can only strand .tmp
+    files, never a truncated file at a contract path — the same data-loss
+    surface as a crash before a synchronous save."""
 
     def __init__(self, max_pending: int = 2):
         import queue
@@ -217,7 +228,8 @@ class AsyncCheckpointWriter:
                 fn, args, kwargs = job
                 fn(*args, **kwargs)
             except BaseException as exc:  # propagated to the caller
-                self._error = exc
+                if self._error is None:  # keep the FIRST failure
+                    self._error = exc
             finally:
                 self._queue.task_done()
 

@@ -339,10 +339,15 @@ def text_entity_cost_and_grads(
         # gathers (even though the *isolated* forward+backward microbench
         # reads faster at f32, 14.0 vs 18.6 ms — the savings land in the
         # downstream accumulate programs).  Masters stay float32.
+        # The word table is replicated everywhere, so the Pallas cast is
+        # safe under GSPMD; the ENTITY table is model-sharded under a mesh
+        # and GSPMD cannot partition a Mosaic custom call (it would
+        # replicate the 268 MB table every step), so it keeps the plain
+        # astype, which partitions trivially.
         from cunvsm_tpu.ops.cast import cast_table
 
         word_table = cast_table(word_table, stream_dtype)
-        entity_table = cast_table(entity_table, stream_dtype)
+        entity_table = entity_table.astype(stream_dtype)
 
     phrase_pre = gather_phrase_reprs(
         word_table, batch.features, feature_weights, window_sum_dtype

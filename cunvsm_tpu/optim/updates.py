@@ -116,7 +116,6 @@ def _data_sharded_accumulate(
     num_rows: int,
     descs: Tuple[SparseGrad, ...],
     mesh,
-    data_axis: str,
     stream_dtype=None,
     accum_dtype=None,
 ) -> jax.Array:
@@ -134,11 +133,12 @@ def _data_sharded_accumulate(
     masked all-reduce — B*W*d bytes of interconnect per step (614 MB at the
     canonical word shapes), the exact "sharded embedding gather/scatter"
     hazard SURVEY §7 flags.  This wrapper shard_maps the accumulation over
-    the data axis instead: every shard reduces its *local* stream into a
-    local dense [num_rows, dim] partial (sorted scatter or prefix-diff,
-    unchanged math) and one psum of the table-sized partial crosses the
-    interconnect — V*d bytes (78 MB at canonical shapes), the same volume
-    as the data-parallel word-gradient sync itself.  Summation is exact:
+    ALL mesh axes instead: every chip reduces its *local* slice of the
+    stream into a local dense [num_rows, dim] partial (sorted scatter or
+    prefix-diff, unchanged math) and one psum of the table-sized partial
+    crosses the interconnect — V*d bytes (78 MB at canonical shapes), the
+    same volume as the data-parallel word-gradient sync itself.  Requires
+    the instance count divisible by the TOTAL device count.  Summation is exact:
     only the order of partial sums changes.  Asserted on the compiled HLO
     in tests/test_sharding.py."""
     from functools import partial
@@ -461,7 +461,7 @@ def _repr_adam_dense_update(state, table, descs, lr, lam, beta1, beta2, eps):
 
 def _repr_adam_full(
     state, table, descs, lr, lam, beta1, beta2, eps, stream_dtype=None,
-    accum_dtype=None, data_shard_mesh=None, data_axis="data",
+    accum_dtype=None, data_shard_mesh=None,
 ):
     # DENSE_UPDATE_DENSE_VARIANCE mode (updates_adam.cu:203-213,253-282,
     # 312-328): dense m and v with L2 folded into the moments.  The m update
@@ -473,7 +473,7 @@ def _repr_adam_full(
 
     if data_shard_mesh is not None:
         scattered = _data_sharded_accumulate(
-            table.shape[0], tuple(descs), data_shard_mesh, data_axis,
+            table.shape[0], tuple(descs), data_shard_mesh,
             stream_dtype, accum_dtype,
         )
     else:
@@ -501,15 +501,13 @@ class Optimizer:
     the transform.
     """
 
-    def __init__(self, cfg: TrainConfig, data_shard_mesh=None,
-                 data_axis: str = "data"):
+    def __init__(self, cfg: TrainConfig, data_shard_mesh=None):
         # data_shard_mesh: when training under a device mesh, the word
-        # table's dense accumulation is shard_mapped over ``data_axis``
+        # table's dense accumulation is shard_mapped over every mesh axis
         # (see _data_sharded_accumulate); the entity table stays under
         # GSPMD (it is model-sharded, not replicated).
         self.cfg = cfg
         self.data_shard_mesh = data_shard_mesh
-        self.data_axis = data_axis
 
     # -- init ---------------------------------------------------------------
 
@@ -631,7 +629,6 @@ class Optimizer:
                 data_shard_mesh=(
                     self.data_shard_mesh if data_sharded else None
                 ),
-                data_axis=self.data_axis,
             )
         else:
             raise ValueError(f"unknown adam mode {mode}")

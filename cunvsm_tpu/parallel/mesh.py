@@ -155,8 +155,7 @@ def make_sharded_train_step(
     b_sh = batch_shardings(mesh, example_batch)
 
     step = make_train_step(
-        desc, cfg, kind, jit=False, num_entities=num_entities,
-        mesh=mesh, data_axis=DATA_AXIS,
+        desc, cfg, kind, jit=False, num_entities=num_entities, mesh=mesh,
     )
     sharded = jax.jit(
         step,
@@ -189,8 +188,7 @@ def make_sharded_multistep(
     b_sh = batch_shardings(mesh, example_batch, stacked=True)
 
     step = make_train_step(
-        desc, cfg, kind, jit=False, num_entities=num_entities,
-        mesh=mesh, data_axis=DATA_AXIS,
+        desc, cfg, kind, jit=False, num_entities=num_entities, mesh=mesh,
     )
 
     def multistep(params, opt_state, stacked_batches, key):

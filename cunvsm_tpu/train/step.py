@@ -227,17 +227,16 @@ def make_train_step(
     jit: bool = True,
     num_entities: Optional[int] = None,
     mesh=None,
-    data_axis: str = "data",
 ):
     """Build the train step: forward + backward + optimizer update.
 
     ``mesh`` (a jax.sharding.Mesh) marks the step as running under a
     device mesh: the word-table accumulation is then shard_mapped over
-    ``data_axis`` so GSPMD cannot replicate the update stream (see
+    every mesh axis so GSPMD cannot replicate the update stream (see
     optim.updates._data_sharded_accumulate)."""
     if kind is None:
         kind = objective_kind_from_config(cfg)
-    optimizer = Optimizer(cfg, data_shard_mesh=mesh, data_axis=data_axis)
+    optimizer = Optimizer(cfg, data_shard_mesh=mesh)
     lr = cfg.resolved_learning_rate()
     lam = scaled_regularization_lambda(cfg, kind)
 

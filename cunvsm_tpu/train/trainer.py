@@ -437,7 +437,8 @@ def train_model(
                 jax.profiler.stop_trace()
                 profiling = False
             if output_prefix:
-                writer.save_model(unpad(params), output_prefix, epoch)
+                writer.save_model(unpad(params), output_prefix, epoch,
+                                  overwrite=resume)
                 writer.save_training_state(
                     output_prefix, params, opt_state, epoch,
                     extra={"total_batches": np.asarray(total_batches)},

@@ -121,38 +121,38 @@ VARIANTS = {
     "pool2048_wsum": {"pool": 2048, "window_sum_dtype": "bfloat16"},
     "pool6400_wsum": {"pool": 6400, "window_sum_dtype": "bfloat16"},
     "pool12800_wsum": {"pool": 12800, "window_sum_dtype": "bfloat16"},
-    # Round 3: prefix-diff word accumulation (on by default) A/B'd against
-    # the sorted-scatter path, across pool sizes / strides / chunk sizes.
-    "pd_pool2048": {"pool": 2048, "window_sum_dtype": "bfloat16"},
-    "nopd_pool2048": {
+    # Round 3: the opt-in prefix-diff word accumulation (pd_* variants
+    # force CUNVSM_PREFIX_DIFF=1) A/B'd against the shipped sorted-scatter
+    # path (nopd_*), across pool sizes / strides / chunk sizes.
+    "pd_pool2048": {
         "pool": 2048, "window_sum_dtype": "bfloat16",
-        "envs": {"CUNVSM_PREFIX_DIFF": "0"},
+        "envs": {"CUNVSM_PREFIX_DIFF": "1"},
     },
-    "pd_perinst": {"window_sum_dtype": "bfloat16"},
-    "nopd_perinst": {
+    "nopd_pool2048": {"pool": 2048, "window_sum_dtype": "bfloat16"},
+    "pd_perinst": {
         "window_sum_dtype": "bfloat16",
-        "envs": {"CUNVSM_PREFIX_DIFF": "0"},
+        "envs": {"CUNVSM_PREFIX_DIFF": "1"},
     },
-    "pd_pool5120": {"pool": 5120, "window_sum_dtype": "bfloat16"},
-    "pd_pool10240": {"pool": 10240, "window_sum_dtype": "bfloat16"},
-    "pd_pool25600": {"pool": 25600, "window_sum_dtype": "bfloat16"},
-    "pd_pool5120_s512": {
-        "pool": 5120, "pool_stride": 511, "window_sum_dtype": "bfloat16",
+    "nopd_perinst": {"window_sum_dtype": "bfloat16"},
+    "pd_pool5120": {
+        "pool": 5120, "window_sum_dtype": "bfloat16",
+        "envs": {"CUNVSM_PREFIX_DIFF": "1"},
     },
     "pd_pool2048_s205": {
         "pool": 2048, "pool_stride": 205, "window_sum_dtype": "bfloat16",
+        "envs": {"CUNVSM_PREFIX_DIFF": "1"},
     },
     "pd_chunk64": {
         "pool": 2048, "window_sum_dtype": "bfloat16",
-        "envs": {"CUNVSM_PREFIX_CHUNK": "64"},
+        "envs": {"CUNVSM_PREFIX_DIFF": "1", "CUNVSM_PREFIX_CHUNK": "64"},
     },
     "pd_chunk256": {
         "pool": 2048, "window_sum_dtype": "bfloat16",
-        "envs": {"CUNVSM_PREFIX_CHUNK": "256"},
+        "envs": {"CUNVSM_PREFIX_DIFF": "1", "CUNVSM_PREFIX_CHUNK": "256"},
     },
     "pd_chunk512": {
         "pool": 2048, "window_sum_dtype": "bfloat16",
-        "envs": {"CUNVSM_PREFIX_CHUNK": "512"},
+        "envs": {"CUNVSM_PREFIX_DIFF": "1", "CUNVSM_PREFIX_CHUNK": "512"},
     },
 }
 
