@@ -66,3 +66,65 @@ def test_rank_adhoc_protocol(adhoc_collection, tmp_path):
     assert results["qlm_jm_prf_test_map"] > 0.95
     assert results["nvsm_test_map"] > 0.3
     assert results["best_epoch"] in (2, 4)
+
+
+def test_collection_scale_corpus_generator():
+    """The synthetic study corpus is deterministic, well-formed, and its
+    planted relevance is sane (scripts/collection_scale_study.py)."""
+    import importlib.util
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "collection_scale_study",
+        os.path.join(SCRIPTS, "collection_scale_study.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    corpus, queries, qrels = mod.make_corpus(512)
+    corpus2, _, _ = mod.make_corpus(512)
+    np.testing.assert_array_equal(corpus.tokens, corpus2.tokens)
+    assert corpus.num_docs == 512
+    assert corpus.tokens.min() >= 0 and corpus.tokens.max() < mod.VOCAB
+    assert len(queries) == mod.NUM_QUERIES
+    # Every query has at least one relevant doc on average-sized corpora
+    # (512 docs / 256 topics ~ 2 per topic; allow empty for rare topics).
+    non_empty = sum(1 for r in qrels.values() if r)
+    assert non_empty > mod.NUM_QUERIES * 0.8
+    # Query terms come from the corpus vocabulary.
+    for terms in list(queries.values())[:10]:
+        for t in terms:
+            assert t in corpus.vocab.term_to_id
+
+
+def test_quality_stats_summarizer(tmp_path, capsys):
+    import importlib.util
+    import json as _json
+
+    path = tmp_path / "q.jsonl"
+    rows = [
+        {"config": "perinst", "seed": s, "map": 0.90 + 0.001 * s}
+        for s in range(5)
+    ] + [
+        {"config": "pooled", "seed": s, "map": 0.91 + 0.001 * s}
+        for s in range(5)
+    ]
+    path.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    spec = importlib.util.spec_from_file_location(
+        "quality_stats", os.path.join(SCRIPTS, "quality_stats.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import sys
+
+    argv = sys.argv
+    sys.argv = ["quality_stats.py", str(path), "--baseline", "perinst"]
+    try:
+        mod.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "perinst" in out and "pooled" in out
+    assert "diff=+0.0100" in out
