@@ -128,3 +128,40 @@ def test_quality_stats_summarizer(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "perinst" in out and "pooled" in out
     assert "diff=+0.0100" in out
+
+
+def test_rank_adhoc_protocol_on_multi_index_indri_repo(
+    adhoc_collection, tmp_path
+):
+    """The same Robust04-style protocol consuming a MULTI-INDEX Indri
+    repository directly (the round-3 ingestion path): fixture-written
+    two-index repo -> load_corpus dispatch -> train -> split protocol."""
+    import rank_adhoc
+
+    from cunvsm_tpu.data.text import iter_trectext, tokenize
+    from tests.indri_fixture import write_repository
+
+    docs = [
+        (docno, tokenize(text, frozenset()))
+        for docno, text in iter_trectext(
+            str(adhoc_collection / "corpus.trectext")
+        )
+    ]
+    repo = str(tmp_path / "repo")
+    write_repository(repo, [docs[:25], docs[25:]])
+
+    workdir = tmp_path / "out_indri"
+    rc = rank_adhoc.main([
+        "--corpus", repo,
+        "--topics", str(adhoc_collection / "topics.txt"),
+        "--qrels", str(adhoc_collection / "qrels.txt"),
+        "--splits", str(adhoc_collection / "splits"),
+        "--workdir", str(workdir),
+        "--num_epochs", "4", "--eval_every", "2",
+        "--word_repr_size", "16", "--entity_repr_size", "16",
+        "--batch_size", "256",
+    ])
+    assert rc in (0, None)
+    results = json.load(open(workdir / "results.json"))
+    assert results["qlm_jm_prf_test_map"] > 0.95
+    assert results["nvsm_test_map"] > 0.3
