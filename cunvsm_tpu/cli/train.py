@@ -123,7 +123,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "uniform negatives, instance b uses cyclic slots "
                         "(b %% P)+j — exact per-example loss with the GEMM "
                         "structure of shared negatives (requires sgd or "
-                        "full_adam and batch %% P == 0).")
+                        "full_adam and batch %% P == 0).  -1 (default) "
+                        "auto-selects a pool when eligible; pass 0 for the "
+                        "reference-exact per-instance sampler.")
     p.add_argument("--negative_pool_stride", type=int, default=0,
                    help="Slot stride of the rolled-pool windows "
                         "(TrainConfig.negative_pool_stride): a stride "

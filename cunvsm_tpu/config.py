@@ -130,9 +130,11 @@ class TrainConfig:
     # negative gather is a k-row broadcast instead of a cross-shard storm).
     # The per-example loss keeps the reference's exact form (1 positive +
     # k uniform negatives, same bias correction); only the cross-instance
-    # correlation of the draws changes.  Off by default for exact reference
-    # sampling parity; requires an accumulate-only optimizer (SGD or
-    # full_adam) and no entity L2 normalization.
+    # correlation of the draws changes.  Off by default (note the default
+    # *pooled* layout below still differs from per-instance sampling:
+    # reference-parity runs must set negative_pool_size=0); requires an
+    # accumulate-only optimizer (SGD or full_adam) and no entity L2
+    # normalization.
     shared_negatives: bool = False
 
     # Rolled-pool negative sampling (mutually exclusive with

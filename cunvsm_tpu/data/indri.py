@@ -341,10 +341,13 @@ class IndriIndex:
     list is translated into the merged id space.  For a single-index
     repository the merged ids are exactly the real Indri term ids; for a
     multi-index repository Indri itself has no repository-wide term id, so
-    the merged ids are synthetic (first index's ids, then
-    first-appearance order) — stable for this framework's own ``_meta``
-    round trip, but not meaningful to pyndri until the repository is
-    compacted.
+    the merged ids are synthetic: 1-based byte-order (alphabetical) ranks
+    over ALL merged term strings — the id layout an all-infrequent
+    compacted index uses, so the merged read of a split repository matches
+    the compacted read wherever that layout holds (see ``vocabulary()``;
+    ``native/indri.cpp`` implements the same convention).  Stable for this
+    framework's own ``_meta`` round trip, but not meaningful to pyndri
+    until the repository is compacted.
     """
 
     def __init__(self, repository_path: str):

@@ -38,6 +38,7 @@ from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cunvsm_tpu.config import AdamMode, TrainConfig, UpdateMethod
 from cunvsm_tpu.models.objectives import AscentGrads, SparseGrad
@@ -144,6 +145,16 @@ def _data_sharded_accumulate(
     from functools import partial
 
     from jax import shard_map
+
+    n_devices = int(np.prod(list(mesh.shape.values())))
+    for d in descs:
+        if d.indices.shape[0] % n_devices:
+            raise ValueError(
+                f"data-sharded accumulation: instance count "
+                f"{d.indices.shape[0]} not divisible by the total device "
+                f"count {n_devices} (mesh {dict(mesh.shape)}); pick a batch "
+                f"size divisible by data*model"
+            )
 
     grads = tuple(d.grad for d in descs)
     indices = tuple(d.indices for d in descs)

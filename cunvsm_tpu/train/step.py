@@ -89,6 +89,20 @@ def resolve_negative_sampling(cfg: TrainConfig, desc: ModelDesc,
         )
     if p <= 0:
         return 0, 1
+    # Validate the explicit pool configuration up front: the stride search
+    # below can never produce k distinct residues mod p when p < k (it
+    # would spin forever), and the pooled objective itself requires the
+    # batch divisible by the pool — surface both as clear errors here at
+    # step-build time instead of deep inside the traced objective.
+    if p < k:
+        raise ValueError(
+            f"negative_pool_size {p} < num_random_entities {k}: the pool "
+            "must hold at least one slot per negative"
+        )
+    if batch_size % p != 0:
+        raise ValueError(
+            f"batch size {batch_size} not divisible by negative_pool_size {p}"
+        )
     s = cfg.negative_pool_stride
     if s == 0:
         # About P // k, rounded up to odd (coprime with power-of-two

@@ -166,6 +166,26 @@ def train_model(
                 f"batch_size {cfg.batch_size} not divisible by data axis "
                 f"{data_axis}"
             )
+        # The word-table accumulation shard_maps the update stream over
+        # EVERY mesh axis (optim.updates._data_sharded_accumulate), so the
+        # full_adam path needs the batch divisible by the TOTAL device
+        # count — fail here with a clear message instead of deep inside
+        # shard_map tracing (e.g. on a 2x3 or 1x7 mesh).
+        from cunvsm_tpu.config import AdamMode, UpdateMethod
+
+        total_devices = data_axis * model_axis
+        if (
+            cfg.update_method == UpdateMethod.ADAM
+            and cfg.adam.mode == AdamMode.DENSE_UPDATE_DENSE_VARIANCE
+            and cfg.batch_size % total_devices
+        ):
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by the total "
+                f"device count {total_devices} (mesh "
+                f"{data_axis}x{model_axis}): the full_adam word "
+                f"accumulation shards the update stream over every mesh "
+                f"axis"
+            )
         num_table_entities = pad_entities(num_real_entities, model_axis)
 
     params = init_params(
@@ -354,178 +374,184 @@ def train_model(
     # AsyncCheckpointWriter): the training loop pays only the
     # device-to-host snapshot at each epoch boundary.
     writer = ckpt.AsyncCheckpointWriter() if output_prefix else None
-    if dump_initial_model and output_prefix:
-        writer.save_model(unpad(params), output_prefix, 0)
+    # Drain/close the async writer even when the loop raises or the
+    # user interrupts: pending epoch checkpoints must complete and
+    # worker errors must surface (close() joins the worker thread and
+    # re-raises the first error it hit).
+    try:
+        if dump_initial_model and output_prefix:
+            writer.save_model(unpad(params), output_prefix, 0)
 
-    epoch_costs: List[float] = []
-    total_batches = resumed_batches
-    if resumed_batches and sim_iter is not None:
-        # Fast-forward the similarity stream past the consumed batches.
-        for _ in range(resumed_batches):
-            next(sim_iter)
-    train_start = time.time()
-    batches_per_epoch = max(source.batches_per_epoch(), 1)
+        epoch_costs: List[float] = []
+        total_batches = resumed_batches
+        if resumed_batches and sim_iter is not None:
+            # Fast-forward the similarity stream past the consumed batches.
+            for _ in range(resumed_batches):
+                next(sim_iter)
+        train_start = time.time()
+        batches_per_epoch = max(source.batches_per_epoch(), 1)
 
-    if kind == ObjectiveKind.TEXT_ENTITY or kind in (
-        ObjectiveKind.TEXT_ENTITY_ENTITY_ENTITY,
-        ObjectiveKind.TEXT_ENTITY_TERM_TERM,
-    ):
-        from cunvsm_tpu.train.step import resolve_negative_sampling
+        if kind == ObjectiveKind.TEXT_ENTITY or kind in (
+            ObjectiveKind.TEXT_ENTITY_ENTITY_ENTITY,
+            ObjectiveKind.TEXT_ENTITY_TERM_TERM,
+        ):
+            from cunvsm_tpu.train.step import resolve_negative_sampling
 
-        pool, stride = resolve_negative_sampling(cfg, desc, cfg.batch_size)
-        if cfg.shared_negatives:
-            logger.info("Negative sampling: batch-shared (k=%d).",
-                        cfg.num_random_entities)
-        elif pool:
-            logger.info(
-                "Negative sampling: rolled pool P=%d stride=%d "
-                "(exact per-example loss, k=%d)%s.",
-                pool, stride, cfg.num_random_entities,
-                " [auto]" if cfg.negative_pool_size == -1 else "",
-            )
-        else:
-            logger.info(
-                "Negative sampling: per-instance (reference-exact, k=%d).",
-                cfg.num_random_entities,
-            )
-
-    if check_gradients:
-        from cunvsm_tpu.train.gradcheck import check_gradients as run_check
-
-    profiling = False
-    if profile_dir:
-        jax.profiler.start_trace(profile_dir)
-        profiling = True
-
-    for epoch in range(start_epoch, cfg.num_epochs + 1):
-        epoch_start = time.time()
-        batch_costs = []
-        if device_run is not None:
-            # Fully on-device epochs: no host batches at all.  The shuffled
-            # per-epoch pointer permutation is regenerated on device
-            # (DataSource::reset parity) and consumed via a cursor.
-            doc_perm = epoch_permuter(
-                jax.random.fold_in(jax.random.fold_in(key, 0x5A5A5A), epoch)
-            )
-            k = max(steps_per_call, 1)
-            num_calls = max(
-                min(batches_per_epoch,
-                    _ptrs_per_epoch // cfg.batch_size) // k,
-                1,
-            )
-            for call in range(num_calls):
-                step_key = jax.random.fold_in(key, total_batches)
-                params, opt_state, costs = device_run(
-                    params, opt_state, step_key, doc_perm,
-                    call * k * cfg.batch_size,
+            pool, stride = resolve_negative_sampling(cfg, desc, cfg.batch_size)
+            if cfg.shared_negatives:
+                logger.info("Negative sampling: batch-shared (k=%d).",
+                            cfg.num_random_entities)
+            elif pool:
+                logger.info(
+                    "Negative sampling: rolled pool P=%d stride=%d "
+                    "(exact per-example loss, k=%d)%s.",
+                    pool, stride, cfg.num_random_entities,
+                    " [auto]" if cfg.negative_pool_size == -1 else "",
                 )
-                batch_costs.extend(costs[i] for i in range(k))
-                total_batches += k
+            else:
+                logger.info(
+                    "Negative sampling: per-instance (reference-exact, k=%d).",
+                    cfg.num_random_entities,
+                )
+
+        if check_gradients:
+            from cunvsm_tpu.train.gradcheck import check_gradients as run_check
+
+        profiling = False
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
+
+        for epoch in range(start_epoch, cfg.num_epochs + 1):
+            epoch_start = time.time()
+            batch_costs = []
+            if device_run is not None:
+                # Fully on-device epochs: no host batches at all.  The shuffled
+                # per-epoch pointer permutation is regenerated on device
+                # (DataSource::reset parity) and consumed via a cursor.
+                doc_perm = epoch_permuter(
+                    jax.random.fold_in(jax.random.fold_in(key, 0x5A5A5A), epoch)
+                )
+                k = max(steps_per_call, 1)
+                num_calls = max(
+                    min(batches_per_epoch,
+                        _ptrs_per_epoch // cfg.batch_size) // k,
+                    1,
+                )
+                for call in range(num_calls):
+                    step_key = jax.random.fold_in(key, total_batches)
+                    params, opt_state, costs = device_run(
+                        params, opt_state, step_key, doc_perm,
+                        call * k * cfg.batch_size,
+                    )
+                    batch_costs.extend(costs[i] for i in range(k))
+                    total_batches += k
+                epoch_cost = (
+                    float(jnp.mean(jnp.stack(batch_costs)))
+                    if batch_costs
+                    else 0.0
+                )
+                epoch_costs.append(epoch_cost)
+                duration = time.time() - epoch_start
+                logger.info(
+                    "Epoch %d (on-device sampling): cost=%.6f "
+                    "(%d steps, %.1fs)",
+                    epoch, epoch_cost, len(batch_costs), duration,
+                )
+                if profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                if output_prefix:
+                    writer.save_model(unpad(params), output_prefix, epoch,
+                                      overwrite=resume)
+                    writer.save_training_state(
+                        output_prefix, params, opt_state, epoch,
+                        extra={"total_batches": np.asarray(total_batches)},
+                    )
+                if epoch_callback:
+                    epoch_callback(epoch, unpad(params), epoch_cost)
+                continue
+            for batch in epoch_stream():
+                step_key = jax.random.fold_in(key, total_batches)
+                # Single batches have 2-D leading leaves ([B, W] features /
+                # [B, 2] ids); stacked groups have a [K, ...] axis on top.
+                is_group = (
+                    multistep is not None
+                    and jax.tree_util.tree_leaves(batch)[0].ndim > 2
+                )
+                if is_group:
+                    params, opt_state, costs = multistep(
+                        params, opt_state, batch, step_key
+                    )
+                    batch_costs.extend(costs[i] for i in range(steps_per_call))
+                    total_batches += steps_per_call
+                    cost = costs[-1]
+                else:
+                    if check_gradients:
+                        run_check(kind, params, batch, step_key, desc, cfg)
+                    params, opt_state, cost = step(
+                        params, opt_state, batch, step_key
+                    )
+                    batch_costs.append(cost)
+                    total_batches += 1
+                if log_every and total_batches % log_every == 0:
+                    done = len(batch_costs) / batches_per_epoch
+                    elapsed = time.time() - epoch_start
+                    eta = elapsed / max(done, 1e-9) * (1.0 - done)
+                    logger.info(
+                        "Batch %d (epoch %d): cost=%.6f progress=%.1f%% "
+                        "eta=%.0fs",
+                        total_batches,
+                        epoch,
+                        float(cost),
+                        100.0 * done,
+                        eta,
+                    )
+                if (
+                    dump_every > 0
+                    and output_prefix
+                    and total_batches % dump_every == 0
+                ):
+                    writer.save_model(
+                        unpad(params), output_prefix, f"{epoch}_{total_batches}"
+                    )
+            # Single host sync per epoch.
             epoch_cost = (
-                float(jnp.mean(jnp.stack(batch_costs)))
-                if batch_costs
-                else 0.0
+                float(jnp.mean(jnp.stack(batch_costs))) if batch_costs else 0.0
             )
             epoch_costs.append(epoch_cost)
             duration = time.time() - epoch_start
+            bps = len(batch_costs) / duration if duration > 0 else 0.0
             logger.info(
-                "Epoch %d (on-device sampling): cost=%.6f "
-                "(%d steps, %.1fs)",
-                epoch, epoch_cost, len(batch_costs), duration,
+                "Epoch %d: cost=%.6f (%d batches, %.1f batches/s, %.1fs); "
+                "history=%s",
+                epoch,
+                epoch_cost,
+                len(batch_costs),
+                bps,
+                duration,
+                [f"{c:.4f}" for c in epoch_costs[-5:]],
             )
             if profiling:
+                # Capture the first trained epoch only.
                 jax.profiler.stop_trace()
                 profiling = False
             if output_prefix:
-                writer.save_model(unpad(params), output_prefix, epoch,
-                                  overwrite=resume)
+                writer.save_model(
+                    unpad(params), output_prefix, epoch,
+                    overwrite=resume,
+                )
+                # The resume state keeps the padded layout for mesh consistency.
                 writer.save_training_state(
                     output_prefix, params, opt_state, epoch,
                     extra={"total_batches": np.asarray(total_batches)},
                 )
             if epoch_callback:
                 epoch_callback(epoch, unpad(params), epoch_cost)
-            continue
-        for batch in epoch_stream():
-            step_key = jax.random.fold_in(key, total_batches)
-            # Single batches have 2-D leading leaves ([B, W] features /
-            # [B, 2] ids); stacked groups have a [K, ...] axis on top.
-            is_group = (
-                multistep is not None
-                and jax.tree_util.tree_leaves(batch)[0].ndim > 2
-            )
-            if is_group:
-                params, opt_state, costs = multistep(
-                    params, opt_state, batch, step_key
-                )
-                batch_costs.extend(costs[i] for i in range(steps_per_call))
-                total_batches += steps_per_call
-                cost = costs[-1]
-            else:
-                if check_gradients:
-                    run_check(kind, params, batch, step_key, desc, cfg)
-                params, opt_state, cost = step(
-                    params, opt_state, batch, step_key
-                )
-                batch_costs.append(cost)
-                total_batches += 1
-            if log_every and total_batches % log_every == 0:
-                done = len(batch_costs) / batches_per_epoch
-                elapsed = time.time() - epoch_start
-                eta = elapsed / max(done, 1e-9) * (1.0 - done)
-                logger.info(
-                    "Batch %d (epoch %d): cost=%.6f progress=%.1f%% "
-                    "eta=%.0fs",
-                    total_batches,
-                    epoch,
-                    float(cost),
-                    100.0 * done,
-                    eta,
-                )
-            if (
-                dump_every > 0
-                and output_prefix
-                and total_batches % dump_every == 0
-            ):
-                writer.save_model(
-                    unpad(params), output_prefix, f"{epoch}_{total_batches}"
-                )
-        # Single host sync per epoch.
-        epoch_cost = (
-            float(jnp.mean(jnp.stack(batch_costs))) if batch_costs else 0.0
-        )
-        epoch_costs.append(epoch_cost)
-        duration = time.time() - epoch_start
-        bps = len(batch_costs) / duration if duration > 0 else 0.0
-        logger.info(
-            "Epoch %d: cost=%.6f (%d batches, %.1f batches/s, %.1fs); "
-            "history=%s",
-            epoch,
-            epoch_cost,
-            len(batch_costs),
-            bps,
-            duration,
-            [f"{c:.4f}" for c in epoch_costs[-5:]],
-        )
-        if profiling:
-            # Capture the first trained epoch only.
-            jax.profiler.stop_trace()
-            profiling = False
-        if output_prefix:
-            writer.save_model(
-                unpad(params), output_prefix, epoch,
-                overwrite=resume,
-            )
-            # The resume state keeps the padded layout for mesh consistency.
-            writer.save_training_state(
-                output_prefix, params, opt_state, epoch,
-                extra={"total_batches": np.asarray(total_batches)},
-            )
-        if epoch_callback:
-            epoch_callback(epoch, unpad(params), epoch_cost)
 
-    if writer is not None:
-        writer.close()
+    finally:
+        if writer is not None:
+            writer.close()
     total_time = time.time() - train_start
     return TrainResult(
         params=unpad(params),

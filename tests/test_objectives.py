@@ -640,3 +640,22 @@ class TestNegativeSamplingResolution:
             desc, 51200,
         )
         assert (p, s) == (256, 1)
+
+    def test_explicit_pool_validation(self):
+        """Misconfigured explicit pools fail fast at resolution time —
+        a pool smaller than k used to spin the stride search forever."""
+        import pytest
+
+        from cunvsm_tpu.train.step import resolve_negative_sampling
+
+        desc = ModelDesc()
+        # Pool smaller than the number of negatives (k=10 in _cfg).
+        with pytest.raises(ValueError, match="pool"):
+            resolve_negative_sampling(
+                self._cfg(negative_pool_size=4), desc, 1024
+            )
+        # Pool not dividing the batch.
+        with pytest.raises(ValueError, match="divisible"):
+            resolve_negative_sampling(
+                self._cfg(negative_pool_size=48), desc, 1024
+            )

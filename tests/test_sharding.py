@@ -223,6 +223,47 @@ def test_trainer_with_mesh():
     assert all(np.isfinite(c) for c in result.epoch_costs)
 
 
+def test_trainer_mesh_divisibility_validated_up_front():
+    """A non-power-of-two mesh whose total device count does not divide the
+    batch must fail with a clear ValueError at train_model entry, not an
+    opaque shard_map trace error (the full_adam word accumulation shards
+    the update stream over EVERY mesh axis)."""
+    from cunvsm_tpu.config import DataConfig
+    from cunvsm_tpu.data.corpus import build_corpus
+    from cunvsm_tpu.train.trainer import train_model
+
+    docs = [
+        (f"d{i}", " ".join(
+            f"w{j}" for j in np.random.RandomState(i).randint(0, 30, 25)))
+        for i in range(13)
+    ]
+    corpus = build_corpus(
+        docs,
+        DataConfig(max_vocabulary_size=0, min_document_frequency=0,
+                   max_document_frequency=0),
+        window_size=3,
+    )
+    desc = ModelDesc(word_repr_size=8, entity_repr_size=8)
+    cfg = TrainConfig(
+        num_epochs=1, batch_size=16, window_size=3, num_random_entities=2,
+        learning_rate=0.01,
+    )
+    # 16 % 6 != 0: must raise before any compilation.
+    with pytest.raises(ValueError, match="total device count"):
+        train_model(desc, cfg, corpus, mesh=make_mesh(2, 3))
+    # 1x7 (the default odd-count mesh shape): 16 % 7 != 0.
+    with pytest.raises(ValueError, match="total device count"):
+        train_model(desc, cfg, corpus, mesh=make_mesh(1, 7))
+    # A divisible batch on the same 2x3 mesh trains fine end to end.
+    cfg_ok = TrainConfig(
+        num_epochs=1, batch_size=12, window_size=3, num_random_entities=2,
+        learning_rate=0.01,
+    )
+    result = train_model(desc, cfg_ok, corpus, mesh=make_mesh(2, 3))
+    assert result.params.entity_reprs.shape[0] == corpus.num_docs == 13
+    assert all(np.isfinite(c) for c in result.epoch_costs)
+
+
 def test_trainer_with_mesh_and_multistep():
     from cunvsm_tpu.config import DataConfig
     from cunvsm_tpu.data.corpus import build_corpus
