@@ -56,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "candidate documents per query")
     p.add_argument("--num_queries", type=int, default=None)
     p.add_argument("--stopwords", default=None)
+    p.add_argument("--stemmer", default="auto",
+                   help="Query-term stemmer: 'auto' (default) applies the "
+                        "stemmer recorded in the checkpoint's "
+                        "<prefix>_stemmer.txt sidecar (written when the "
+                        "model trained from a stemmed Indri repository), "
+                        "'none' disables, or 'krovetz'/'porter' forces one "
+                        "(data/stemming.py).")
     p.add_argument("run_out")
     return p
 
@@ -112,7 +119,24 @@ def main(argv=None) -> int:
         topics.update(file_topics)
     logging.info("Loaded %d topics.", len(topics))
 
-    tokenized = {qid: tokenize(text, stopwords) for qid, text in topics.items()}
+    # Stemmed repositories (e.g. Krovetz-stemmed Robust04 indexes) hold
+    # stemmed vocabulary strings: apply the recorded indexing-time stemmer
+    # to query tokens so inflected topic terms hit the vocabulary.
+    from cunvsm_tpu.data.stemming import QueryStemmer, load_query_stemmer
+
+    if args.stemmer == "auto":
+        stemmer = load_query_stemmer(args.model, engine.term_to_id)
+    elif args.stemmer == "none":
+        stemmer = QueryStemmer(None)
+    else:
+        stemmer = QueryStemmer(args.stemmer, engine.term_to_id)
+    if stemmer.name:
+        logging.info("Query stemming: %s.", stemmer.name)
+
+    tokenized = {
+        qid: stemmer.stem_tokens(tokenize(text, stopwords))
+        for qid, text in topics.items()
+    }
 
     # top_k modes: int | 'all' | qrels-file document sets (query.py:118-139).
     qrel_sets = None

@@ -43,6 +43,10 @@ class Corpus:
     # model doc id -> external index (Indri) document id; equals the model
     # id when the corpus wasn't built from an index (data_indri.cpp:557-571).
     index_doc_ids: Optional[np.ndarray] = None
+    # Indexing-time stemmer name ("krovetz"/"porter") when built from a
+    # stemmed Indri repository: the vocabulary then holds stemmed strings
+    # and query tokenization must apply the same stemmer (data/stemming.py).
+    stemmer: Optional[str] = None
 
     @property
     def num_docs(self) -> int:
@@ -79,6 +83,7 @@ class Corpus:
             ),
             include_oov=np.asarray(int(self.vocab.include_oov)),
             window_size=np.asarray(self.window_size),
+            stemmer=np.asarray(self.stemmer or ""),
         )
         base = path[:-4] if path.endswith(".npz") else path
         with open(base + ".vocab.txt", "w") as f:
@@ -112,6 +117,9 @@ class Corpus:
             window_size=int(data["window_size"]),
             index_doc_ids=(
                 data["index_doc_ids"] if "index_doc_ids" in data else None
+            ),
+            stemmer=(
+                (str(data["stemmer"]) or None) if "stemmer" in data else None
             ),
         )
 

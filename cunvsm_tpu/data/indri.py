@@ -386,6 +386,18 @@ class IndriIndex:
             v for k, vs in repo.items() if k.startswith("stopper.")
             for v in vs
         )
+        # The indexing-time stemmer (<stemmer><name>krovetz</name>, or a
+        # bare <stemmer> text node).  The reference gets query-side
+        # stemming for free through pyndri's dictionary resolution
+        # (py/query.py:111,141-142); this framework records the stemmer so
+        # query tokenization can apply it (data/stemming.py).
+        stem_names = [
+            v for k, vs in repo.items() if k.startswith("stemmer")
+            for v in vs if v
+        ]
+        self.stemmer: Optional[str] = (
+            stem_names[-1].strip().lower() if stem_names else None
+        )
         self.document_lengths = np.concatenate(
             [ix.document_lengths for ix in self._indexes]
         )
@@ -659,4 +671,5 @@ def build_corpus_from_indri(
         docnos=docnos,
         window_size=window_size,
         index_doc_ids=np.asarray(kept_ids, dtype=np.int64),
+        stemmer=index.stemmer,
     )

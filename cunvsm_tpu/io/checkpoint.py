@@ -162,6 +162,12 @@ def save_corpus_sidecars(corpus, prefix: str) -> None:
     """Vocabulary terms + docnos in model-id order (framework extension)."""
     save_strings(corpus.vocab.terms, f"{prefix}_vocab.txt")
     save_strings(corpus.docnos, f"{prefix}_docnos.txt")
+    if getattr(corpus, "stemmer", None):
+        # The indexing-time stemmer of the source repository: query-time
+        # tokenization must apply it to hit the stemmed vocabulary
+        # (data/stemming.py; the reference's pyndri dictionary resolution
+        # makes this implicit, py/query.py:111,141-142).
+        save_strings([corpus.stemmer], f"{prefix}_stemmer.txt")
 
 
 # ---------------------------------------------------------------------------

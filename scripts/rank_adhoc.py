@@ -88,15 +88,9 @@ def main(argv=None):
     test_ids = set(read_ids(os.path.join(args.splits, "test")))
 
     topics = read_topics(args.topics)
-    queries = {q: tokenize(t, stopwords) for q, t in topics.items()}
     qrels = read_qrels(args.qrels)
-    val_queries = {q: t for q, t in queries.items() if q in validation_ids}
-    test_queries = {q: t for q, t in queries.items() if q in test_ids}
     val_qrels = {q: r for q, r in qrels.items() if q in validation_ids}
     test_qrels = {q: r for q, r in qrels.items() if q in test_ids}
-    logging.info(
-        "%d validation / %d test topics.", len(val_queries), len(test_queries)
-    )
 
     window = 10
     data_cfg = DataConfig(
@@ -107,6 +101,25 @@ def main(argv=None):
     )
     corpus = load_corpus(data_cfg, window, args.stopwords)
     logging.info("Corpus: %d docs, %d terms.", corpus.num_docs, corpus.vocab.size)
+
+    # Stemmed Indri repositories (typical for TOIS-era Robust04 indexes)
+    # hold stemmed vocabulary strings: apply the recorded indexing-time
+    # stemmer to topic tokens (data/stemming.py) — the analog of pyndri's
+    # dictionary resolution in the reference (py/query.py:111,141-142).
+    from cunvsm_tpu.data.stemming import QueryStemmer
+
+    stemmer = QueryStemmer(corpus.stemmer, corpus.vocab.term_to_id)
+    if stemmer.name:
+        logging.info("Query stemming: %s.", stemmer.name)
+    queries = {
+        q: stemmer.stem_tokens(tokenize(t, stopwords))
+        for q, t in topics.items()
+    }
+    val_queries = {q: t for q, t in queries.items() if q in validation_ids}
+    test_queries = {q: t for q, t in queries.items() if q in test_ids}
+    logging.info(
+        "%d validation / %d test topics.", len(val_queries), len(test_queries)
+    )
 
     desc = ModelDesc(
         word_repr_size=args.word_repr_size,
