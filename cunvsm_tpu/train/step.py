@@ -59,16 +59,29 @@ def _accumulate_only_optimizer(cfg: TrainConfig) -> bool:
 
 
 _AUTO_POOL_CANDIDATES = (2048, 1024, 512, 256, 128, 64)
+# Auto-resolution is scale-aware: the rolled pool is selected only when it
+# covers at most this fraction of the entity collection.  Measured quality
+# (PERFORMANCE.md): at ~3% coverage (P=2048, 64k docs) pooled BEATS
+# per-instance (+0.0097 MAP, t=+11.0) and still wins at ~20% coverage
+# (P=12800: +0.0034, t=+3.2); at >=100% coverage (P=2048, 1398-doc
+# Cranfield) it loses a small but real -0.0044 (t~2.2).  0.25 keeps the
+# measured winning regime pooled and resolves small collections to the
+# reference-exact per-instance path (shrinking the pool instead measurably
+# hurts at small scale — P=1024 gives up ~0.5% on Cranfield).
+_AUTO_POOL_MAX_COVERAGE = 0.25
 
 
 def resolve_negative_sampling(cfg: TrainConfig, desc: ModelDesc,
-                              batch_size: int):
+                              batch_size: int,
+                              num_entities: Optional[int] = None):
     """Resolve (pool_size, pool_stride) for a concrete batch size.
 
     ``negative_pool_size=-1`` (the default) selects the TPU-native
     rolled-pool layout automatically — the largest candidate pool dividing
     the batch — whenever the mode's requirements hold (accumulate-only
-    optimizer, no entity L2 normalization, no shared negatives); the
+    optimizer, no entity L2 normalization, no shared negatives) AND, when
+    ``num_entities`` (the real entity-collection size) is known, the pool
+    covers at most ``_AUTO_POOL_MAX_COVERAGE`` of the collection; the
     per-example loss is exactly the reference's either way, so the auto
     choice only changes the execution layout and the cross-instance
     correlation of the draws (quality table in PERFORMANCE.md).  Returns
@@ -87,6 +100,12 @@ def resolve_negative_sampling(cfg: TrainConfig, desc: ModelDesc,
              if batch_size % c == 0 and c >= k),
             0,
         )
+        if (
+            p
+            and num_entities is not None
+            and p > _AUTO_POOL_MAX_COVERAGE * num_entities
+        ):
+            return 0, 1
     if p <= 0:
         return 0, 1
     # Validate the explicit pool configuration up front: the stride search
@@ -127,7 +146,8 @@ def _text_entity_grads(params, batch, key, desc, cfg, num_entities=None):
             "shared_negatives and negative_pool_size are mutually exclusive"
         )
     pool, pool_stride = resolve_negative_sampling(
-        cfg, desc, batch.features.shape[0]
+        cfg, desc, batch.features.shape[0],
+        num_entities=num_entities or params.num_entities,
     )
     if cfg.shared_negatives or pool:
         if not _accumulate_only_optimizer(cfg):

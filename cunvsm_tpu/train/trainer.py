@@ -102,6 +102,7 @@ def train_model(
     steps_per_call: int = 1,
     mesh=None,
     on_device_sampling: bool = False,
+    checkpoint_every: int = 1,
 ) -> TrainResult:
     """Train a model over a corpus.
 
@@ -126,7 +127,13 @@ def train_model(
     path for stochastic text-entity training; epoch-exact by default (the
     per-epoch document-pointer permutation is reshuffled on device,
     reproducing the host generator's per-document sample counts).
+    ``checkpoint_every`` dumps the per-epoch model/resume state only every
+    Nth epoch (the final epoch always dumps) — at collection scale the
+    reference's dump-every-epoch default can out-pace slow storage; the
+    intra-epoch ``dump_every`` batch cadence is unaffected.
     """
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     kind = objective_kind_from_config(cfg)
     key = jax.random.PRNGKey(cfg.seed)
 
@@ -397,7 +404,9 @@ def train_model(
         ):
             from cunvsm_tpu.train.step import resolve_negative_sampling
 
-            pool, stride = resolve_negative_sampling(cfg, desc, cfg.batch_size)
+            pool, stride = resolve_negative_sampling(
+                cfg, desc, cfg.batch_size, num_entities=num_real_entities
+            )
             if cfg.shared_negatives:
                 logger.info("Negative sampling: batch-shared (k=%d).",
                             cfg.num_random_entities)
@@ -425,6 +434,7 @@ def train_model(
         for epoch in range(start_epoch, cfg.num_epochs + 1):
             epoch_start = time.time()
             batch_costs = []
+            epoch_step_count = 0
             if device_run is not None:
                 # Fully on-device epochs: no host batches at all.  The shuffled
                 # per-epoch pointer permutation is regenerated on device
@@ -444,10 +454,14 @@ def train_model(
                         params, opt_state, step_key, doc_perm,
                         call * k * cfg.batch_size,
                     )
-                    batch_costs.extend(costs[i] for i in range(k))
+                    # Keep the [K] cost arrays whole: slicing them into
+                    # scalars here would issue K extra dispatches per call
+                    # (milliseconds each through a remote tunnel).
+                    batch_costs.append(costs)
                     total_batches += k
+                epoch_steps = k * len(batch_costs)
                 epoch_cost = (
-                    float(jnp.mean(jnp.stack(batch_costs)))
+                    float(jnp.mean(jnp.concatenate(batch_costs)))
                     if batch_costs
                     else 0.0
                 )
@@ -456,12 +470,14 @@ def train_model(
                 logger.info(
                     "Epoch %d (on-device sampling): cost=%.6f "
                     "(%d steps, %.1fs)",
-                    epoch, epoch_cost, len(batch_costs), duration,
+                    epoch, epoch_cost, epoch_steps, duration,
                 )
                 if profiling:
                     jax.profiler.stop_trace()
                     profiling = False
-                if output_prefix:
+                if output_prefix and (
+                    epoch % checkpoint_every == 0 or epoch == cfg.num_epochs
+                ):
                     writer.save_model(unpad(params), output_prefix, epoch,
                                       overwrite=resume)
                     writer.save_training_state(
@@ -483,7 +499,9 @@ def train_model(
                     params, opt_state, costs = multistep(
                         params, opt_state, batch, step_key
                     )
-                    batch_costs.extend(costs[i] for i in range(steps_per_call))
+                    # Whole [K] arrays (no per-step slicing dispatches).
+                    batch_costs.append(costs)
+                    epoch_step_count += steps_per_call
                     total_batches += steps_per_call
                     cost = costs[-1]
                 else:
@@ -492,10 +510,11 @@ def train_model(
                     params, opt_state, cost = step(
                         params, opt_state, batch, step_key
                     )
-                    batch_costs.append(cost)
+                    batch_costs.append(jnp.reshape(cost, (1,)))
+                    epoch_step_count += 1
                     total_batches += 1
                 if log_every and total_batches % log_every == 0:
-                    done = len(batch_costs) / batches_per_epoch
+                    done = epoch_step_count / batches_per_epoch
                     elapsed = time.time() - epoch_start
                     eta = elapsed / max(done, 1e-9) * (1.0 - done)
                     logger.info(
@@ -517,17 +536,19 @@ def train_model(
                     )
             # Single host sync per epoch.
             epoch_cost = (
-                float(jnp.mean(jnp.stack(batch_costs))) if batch_costs else 0.0
+                float(jnp.mean(jnp.concatenate(batch_costs)))
+                if batch_costs
+                else 0.0
             )
             epoch_costs.append(epoch_cost)
             duration = time.time() - epoch_start
-            bps = len(batch_costs) / duration if duration > 0 else 0.0
+            bps = epoch_step_count / duration if duration > 0 else 0.0
             logger.info(
                 "Epoch %d: cost=%.6f (%d batches, %.1f batches/s, %.1fs); "
                 "history=%s",
                 epoch,
                 epoch_cost,
-                len(batch_costs),
+                epoch_step_count,
                 bps,
                 duration,
                 [f"{c:.4f}" for c in epoch_costs[-5:]],
@@ -536,7 +557,9 @@ def train_model(
                 # Capture the first trained epoch only.
                 jax.profiler.stop_trace()
                 profiling = False
-            if output_prefix:
+            if output_prefix and (
+                epoch % checkpoint_every == 0 or epoch == cfg.num_epochs
+            ):
                 writer.save_model(
                     unpad(params), output_prefix, epoch,
                     overwrite=resume,

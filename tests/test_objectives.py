@@ -609,6 +609,43 @@ class TestNegativeSamplingResolution:
         p, s = resolve_negative_sampling(self._cfg(), desc, 100)
         assert (p, s) == (0, 1)
 
+    def test_auto_is_scale_aware(self):
+        """The auto default resolves per-instance when the pool would
+        cover more than 25% of the collection (the regime where pooled
+        sampling measurably loses on Cranfield, PERFORMANCE.md), and keeps
+        the pooled layout at collection scale where it measurably wins."""
+        from cunvsm_tpu.train.step import resolve_negative_sampling
+
+        desc = ModelDesc()
+        # Cranfield scale: 2048-pool would cover >100% of 1398 docs.
+        p, _ = resolve_negative_sampling(
+            self._cfg(), desc, 51200, num_entities=1398
+        )
+        assert p == 0
+        # Collection scale: ~3% coverage keeps the pool.
+        p, s = resolve_negative_sampling(
+            self._cfg(), desc, 51200, num_entities=65536
+        )
+        assert (p, s) == (2048, 205)
+        # Boundary: exactly 25% coverage keeps the pool; just above drops.
+        p, _ = resolve_negative_sampling(
+            self._cfg(), desc, 51200, num_entities=8192
+        )
+        assert p == 2048
+        p, _ = resolve_negative_sampling(
+            self._cfg(), desc, 51200, num_entities=8191
+        )
+        assert p == 0
+        # Unknown collection size preserves the divisibility-only rule.
+        p, _ = resolve_negative_sampling(self._cfg(), desc, 51200)
+        assert p == 2048
+        # Explicit pools are never overridden by the coverage rule.
+        p, _ = resolve_negative_sampling(
+            self._cfg(negative_pool_size=2048), desc, 51200,
+            num_entities=1398,
+        )
+        assert p == 2048
+
     def test_auto_respects_mode_requirements(self):
         from cunvsm_tpu.config import UpdateMethod
         from cunvsm_tpu.train.step import resolve_negative_sampling
