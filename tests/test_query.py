@@ -182,6 +182,38 @@ class TestQueryExtras:
         top = bf.nearest_ngrams(target, k=1)
         assert top[0][0] == ("gamma",)
 
+    def test_term_bruteforcer_full_vocabulary(self):
+        """Cardinality 1 covers EVERY vocabulary term regardless of
+        max_terms (the reference brute-forces all 1-grams,
+        py/nvsm/base.py:106-162); the cap applies only to cardinality>=2
+        combinations."""
+        from cunvsm_tpu.query.engine import TermBruteforcer
+
+        eng, params = make_engine()
+        vocab = len(eng.term_to_id)
+        bf = TermBruteforcer(eng, max_ngram_cardinality=1, max_terms=2)
+        assert len(bf.ngrams) == vocab
+        # Every term's own projection is its nearest 1-gram.
+        for tid, term in enumerate(sorted(
+            eng.term_to_id, key=eng.term_to_id.get
+        )):
+            target = eng.infer(np.asarray(params.word_reprs)[tid])
+            assert bf.nearest_ngrams(target, k=1)[0][0] == (term,)
+
+    def test_term_bruteforcer_cardinality2_cap(self):
+        from cunvsm_tpu.query.engine import TermBruteforcer
+
+        eng, params = make_engine()
+        vocab = len(eng.term_to_id)
+        bf = TermBruteforcer(eng, max_ngram_cardinality=2, max_terms=3)
+        # Full vocab 1-grams + C(3,2) capped 2-grams.
+        assert len(bf.ngrams) == vocab + 3
+        w = np.asarray(params.word_reprs)
+        pair = next(g for g in bf.ngrams if len(g) == 2)
+        ids = [eng.term_to_id[t] for t in pair]
+        target = eng.infer(w[ids].mean(axis=0))
+        assert bf.nearest_ngrams(target, k=1)[0][0] == pair
+
     def test_tfidf_rank(self):
         from cunvsm_tpu.config import DataConfig
         from cunvsm_tpu.data.corpus import build_corpus
