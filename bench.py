@@ -140,9 +140,20 @@ def main():
         )
         return p, o, costs
 
-    run = jax.jit(scan_steps, donate_argnums=(0, 1))
+    # AOT compile so XLA's own buffer assignment reports the program's HBM
+    # footprint (device.memory_stats() is unavailable through the remote
+    # tunnel; peak_memory_in_bytes is the allocator-accounted peak of the
+    # full 40-step program — params, optimizer moments, temps, all of it).
+    lowered = jax.jit(scan_steps, donate_argnums=(0, 1)).lower(
+        params, opt_state, batch, key
+    )
+    compiled = lowered.compile()
+    mem = compiled.memory_analysis()
 
-    # Warmup (compile + one real execution, verified by D2H).
+    def run(p, o, b, k):
+        return compiled(p, o, b, k)
+
+    # Warmup (one real execution, verified by D2H).
     params, opt_state, costs = run(params, opt_state, batch, key)
     np.asarray(costs)
 
@@ -159,6 +170,17 @@ def main():
         assert np.all(np.isfinite(costs))
 
     pairs_per_sec = cfg.batch_size * SCAN_STEPS / elapsed
+
+    # "Equal HBM" accounting (BASELINE.md quality-target clause): the CUDA
+    # reference at full_adam holds every table plus dense Adam m and v in
+    # f32 (updates_adam.cu:203-213 — 3x the f32 tables) plus the per-batch
+    # forward/backward buffers.  3x-f32-tables is its floor:
+    ref_tables = 4 * (
+        NUM_WORDS * desc.word_repr_size
+        + NUM_ENTITIES * desc.entity_repr_size
+        + desc.word_repr_size * desc.entity_repr_size
+        + desc.entity_repr_size
+    )
     print(
         json.dumps(
             {
@@ -171,6 +193,13 @@ def main():
                 "unit": "pairs/s",
                 "vs_baseline": round(
                     pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3
+                ),
+                "hbm_peak_bytes": int(mem.peak_memory_in_bytes),
+                "hbm_args_bytes": int(mem.argument_size_in_bytes),
+                "hbm_temp_bytes": int(mem.temp_size_in_bytes),
+                "hbm_reference_floor_bytes": 3 * ref_tables,
+                "hbm_vs_reference_floor": round(
+                    mem.peak_memory_in_bytes / (3 * ref_tables), 3
                 ),
             }
         )

@@ -50,6 +50,7 @@ groups, high bit set on the terminating byte.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 import re
 import struct
@@ -174,14 +175,32 @@ def _parse_keyfile_entries(blk, start, nkeys, end_limit):
 def iter_keyfile_entries(path: str) -> Iterator[Tuple[bytes, bytes]]:
     """Yield (key, value) for every entry of a lemur Keyfile B-tree.
 
-    Only data blocks (nonzero key count parsing cleanly as level-0 entry
-    lists) are read; keys come out in ascending order per block.
+    Only leaf data blocks (header byte 4 — the B-tree level — is 0) with a
+    nonzero key count are read; keys come out in ascending order per
+    block.  A leaf block whose entry list defeats the parser (and its
+    small layout-variant retries) means silently-lost docnos downstream,
+    so it is reported loudly instead of skipped quietly.
     """
     data = open(path, "rb").read()
-    for base in range(KEYFILE_BLOCK, len(data), KEYFILE_BLOCK):
+    if len(data) % KEYFILE_BLOCK:
+        logging.warning(
+            "Keyfile %s: size %d is not a multiple of the %d-byte block "
+            "(truncated file?); trailing partial block ignored.",
+            path, len(data), KEYFILE_BLOCK,
+        )
+    for base in range(KEYFILE_BLOCK, len(data) - KEYFILE_BLOCK + 1, KEYFILE_BLOCK):
         blk = data[base : base + KEYFILE_BLOCK]
         nkeys, chars = struct.unpack(">HH", blk[0:4])
-        if nkeys == 0 or chars > KEYFILE_BLOCK:
+        level = blk[4]
+        if nkeys == 0 or level != 0:
+            continue  # free block or interior (index) block
+        if chars > KEYFILE_BLOCK:
+            logging.warning(
+                "Keyfile %s: leaf block at offset %d claims %d entry bytes "
+                "(> block size %d) — corrupt block skipped, its %d docnos "
+                "are lost.",
+                path, base, chars, KEYFILE_BLOCK, nkeys,
+            )
             continue
         prefix_lc = blk[5]
         prefix = blk[KEYFILE_BLOCK - prefix_lc :] if prefix_lc else b""
@@ -199,7 +218,16 @@ def iter_keyfile_entries(path: str) -> Iterator[Tuple[bytes, bytes]]:
                 if raw is not None:
                     break
         if raw is None:
-            continue  # not a level-0 data block
+            # A leaf-level block we cannot parse is data loss, not noise:
+            # every one of its nkeys docnos will be missing from lookups
+            # (a later hard KeyError in docids_from_docnos at best).
+            logging.warning(
+                "Keyfile %s: unparseable leaf block at offset %d "
+                "(nkeys=%d, chars=%d, prefix_lc=%d) — layout variant "
+                "beyond the known ±2 offsets; its docnos are lost.",
+                path, base, nkeys, chars, prefix_lc,
+            )
+            continue
         # Entries are stored back-to-front: reverse into ascending key
         # order, then resolve the per-entry prefix compression.
         prev_tail = b""

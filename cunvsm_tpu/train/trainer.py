@@ -114,11 +114,9 @@ def train_model(
     (the VLOG(1) batch logging, main.cu:445-451).  ``steps_per_call`` > 1
     chains that many steps inside one compiled scan (dispatch amortization;
     incompatible with check_gradients and intra-group dump_every
-    granularity; under on-device sampling each epoch runs
-    floor(steps_per_epoch / K) * K steps — but at least one K-step call,
-    with the pointer permutation wrapping when K exceeds the epoch — so
-    choose K dividing the epoch's step count to train every full batch
-    exactly once).  ``mesh`` (a jax.sharding.Mesh with ("data", "model")
+    granularity; under on-device sampling a K that does not divide the
+    epoch's step count is auto-adjusted down to the largest divisor — with
+    a warning — so every full batch trains exactly once per epoch).  ``mesh`` (a jax.sharding.Mesh with ("data", "model")
     axes) trains multi-chip: the entity table and its optimizer state shard
     over the model axis and batches over data (parallel/mesh.py); requires
     batch_size divisible by the data axis and the entity count by the model
@@ -306,6 +304,27 @@ def train_model(
         # Epoch-exact sampling (StochasticInstanceGenerator parity): one
         # on-device reshuffle of the document-pointer array per epoch.
         epoch_permuter, _ptrs_per_epoch = make_epoch_permuter(dc)
+        # Exact epoch semantics: a K that does not divide the epoch's step
+        # count would silently drop the remainder steps every epoch (the
+        # reference trains every instance each epoch).  Auto-adjust K down
+        # to the largest divisor so nothing is dropped, and say so.
+        k_req = max(steps_per_call, 1)
+        steps_epoch = max(
+            min(source.batches_per_epoch(),
+                _ptrs_per_epoch // cfg.batch_size),
+            1,
+        )
+        if k_req > 1 and steps_epoch % k_req:
+            steps_per_call = max(
+                d for d in range(1, k_req + 1) if steps_epoch % d == 0
+            )
+            logger.warning(
+                "steps_per_call=%d does not divide the epoch's %d steps "
+                "(would drop %d steps/epoch); auto-adjusted to %d.  Pick a "
+                "divisor of %d to keep the requested call size.",
+                k_req, steps_epoch, steps_epoch % k_req, steps_per_call,
+                steps_epoch,
+            )
         if mesh is not None:
             from cunvsm_tpu.data.device_sampler import (
                 make_device_sampled_sharded_multistep,

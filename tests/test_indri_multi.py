@@ -186,3 +186,76 @@ def test_native_reader_matches_python_with_document_list(repos):
     assert cn.docnos == cm.docnos == ["doc-e", "doc-b"]
     np.testing.assert_array_equal(cn.tokens, cm.tokens)
     np.testing.assert_array_equal(cn.vocab.term_freq, cm.vocab.term_freq)
+
+
+class TestKeyfileRobustness:
+    """A leaf block the parser cannot read is silent docno loss — it must
+    be reported loudly, and damage must stay contained to that block."""
+
+    @staticmethod
+    def _entries(n=400, vlen=80):
+        return [
+            (b"doc%04d" % i, (b"v%d-" % i) + b"x" * vlen) for i in range(n)
+        ]
+
+    def _write(self, tmp_path):
+        import struct
+
+        from tests.indri_fixture import KEYFILE_BLOCK, write_keyfile
+
+        path = str(tmp_path / "kf")
+        write_keyfile(path, self._entries())
+        data = bytearray(open(path, "rb").read())
+        nblocks = len(data) // KEYFILE_BLOCK
+        assert nblocks >= 4, "fixture must span multiple data blocks"
+        return path, data, KEYFILE_BLOCK, struct
+
+    def test_corrupt_leaf_block_warns_and_contains_damage(
+        self, tmp_path, caplog
+    ):
+        import logging
+
+        from cunvsm_tpu.data.indri import iter_keyfile_entries
+
+        path, data, blk_size, struct_mod = self._write(tmp_path)
+        clean = list(iter_keyfile_entries(path))
+        assert len(clean) == 400
+        # Zero the entry area of the second data block: nkeys/chars stay
+        # plausible but no offset (0, +-1, +-2) parses.
+        base = 2 * blk_size
+        nkeys, chars = struct_mod.unpack(">HH", data[base : base + 4])
+        data[base + 8 : base + blk_size] = bytes(blk_size - 8)
+        open(path, "wb").write(data)
+        with caplog.at_level(logging.WARNING):
+            got = list(iter_keyfile_entries(path))
+        assert any("unparseable leaf block" in r.message for r in caplog.records)
+        # Exactly that block's entries are lost; the rest still parse.
+        assert len(got) == 400 - nkeys
+        assert set(got) < set(clean)
+
+    def test_truncated_file_warns(self, tmp_path, caplog):
+        import logging
+
+        from cunvsm_tpu.data.indri import iter_keyfile_entries
+
+        path, data, blk_size, _ = self._write(tmp_path)
+        open(path, "wb").write(data[: len(data) - blk_size // 2])
+        with caplog.at_level(logging.WARNING):
+            got = list(iter_keyfile_entries(path))
+        assert any("truncated" in r.message for r in caplog.records)
+        assert 0 < len(got) < 400  # the partial block is dropped, no crash
+
+    def test_oversized_chars_block_warns(self, tmp_path, caplog):
+        import logging
+
+        from cunvsm_tpu.data.indri import iter_keyfile_entries
+
+        path, data, blk_size, struct_mod = self._write(tmp_path)
+        base = 2 * blk_size
+        nkeys, _ = struct_mod.unpack(">HH", data[base : base + 4])
+        struct_mod.pack_into(">H", data, base + 2, 0xFFFF)
+        open(path, "wb").write(data)
+        with caplog.at_level(logging.WARNING):
+            got = list(iter_keyfile_entries(path))
+        assert any("corrupt block skipped" in r.message for r in caplog.records)
+        assert len(got) == 400 - nkeys

@@ -81,3 +81,25 @@ def test_incompatible_option_guards():
             desc, small_cfg(), corpus,
             on_device_sampling=True, check_gradients=True,
         )
+
+
+def test_on_device_steps_per_call_auto_adjusts(caplog):
+    """A steps_per_call that does not divide the epoch's step count is
+    auto-adjusted down to the largest divisor (with a warning) so no
+    remainder steps are silently dropped — the reference trains every
+    instance each epoch (data_indri.cpp:224-410)."""
+    corpus = small_corpus()
+    desc = ModelDesc(word_repr_size=4, entity_repr_size=4)
+    cfg = small_cfg(num_epochs=2)
+    # 4 docs x ceil(10-3+1)=8 instances, batch 4 -> 8 steps/epoch; K=7
+    # does not divide, largest divisor <= 7 is 4.
+    with caplog.at_level(logging.INFO, logger="cunvsm_tpu.train.trainer"):
+        r = train_model(
+            desc, cfg, corpus, on_device_sampling=True, steps_per_call=7
+        )
+    assert any(
+        "auto-adjusted to 4" in m for m in caplog.messages
+    ), caplog.messages
+    # Every epoch still trains the FULL 8 steps (2 calls of 4).
+    assert sum("(8 steps" in m for m in caplog.messages) == 2
+    assert np.isfinite(r.epoch_costs[-1])
