@@ -142,6 +142,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Keep the packed corpus in HBM and sample batches "
                         "inside the compiled step (stochastic text-entity "
                         "training only; fastest path).")
+    p.add_argument("--reference_rng", action="store_true",
+                   help="Replay the CUDA reference's host minstd_rand0 "
+                        "stream bit-for-bit for instance order and "
+                        "negative labels (interop/debug; forces "
+                        "per-instance sampling, host pipeline only).")
     p.add_argument("--output", required=True)
     p.add_argument("--loglevel", default="INFO")
     return p
@@ -192,6 +197,7 @@ def main(argv=None) -> int:
         negative_pool_size=args.negative_pool_size,
         negative_pool_stride=args.negative_pool_stride,
         window_sum_dtype=args.window_sum_dtype,
+        reference_rng=args.reference_rng,
     )
     data_cfg = DataConfig(
         corpus_path=args.corpus_path,

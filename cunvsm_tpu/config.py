@@ -155,6 +155,17 @@ class TrainConfig:
     #      accumulate-only optimizer, and no entity L2 normalization.
     negative_pool_size: int = -1
 
+    # Reference-RNG replay (opt-in interop/debug mode): draw the per-epoch
+    # instance order AND the per-instance negative labels on the host from
+    # a bit-exact twin of the reference's std::minstd_rand0 stream
+    # (data/stdrng.py; base.h:36, labels.cu:3-22, data_indri.cpp:385-397),
+    # seeded with `seed`.  Gives label-stream/instance-order parity with
+    # the CUDA binary for the same seed (tests/test_reference_rng.py pins
+    # the seed-1 stream).  Forces per-instance negative sampling; host
+    # pipeline only (incompatible with on_device_sampling); slower — for
+    # cross-validation, not production.
+    reference_rng: bool = False
+
     # Slot stride of the rolled-pool windows: instance with residue r
     # scores against pool slots (r + j*stride) % P for j in [0, k).
     # 0 (default) AUTO: about P // k, adjusted upward until the k slots

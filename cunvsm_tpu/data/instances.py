@@ -48,6 +48,7 @@ class TextEntityBatchNp(NamedTuple):
     feature_weights: np.ndarray  # [B, W] float32
     labels: np.ndarray  # [B] int32
     weights: np.ndarray  # [B] float32
+    negatives: Optional[np.ndarray] = None  # [B, k] int32 (reference RNG)
 
 
 @dataclasses.dataclass
@@ -79,6 +80,8 @@ class TextEntitySource:
         seed: int = 1,
         drop_remainder: bool = True,
         pad_remainder: bool = False,
+        reference_rng: bool = False,
+        num_negative: int = 0,
     ):
         """``drop_remainder`` skips the final partial batch (the reference
         skips batches whose size isn't a multiple of maxThreadsPerBlock,
@@ -86,7 +89,15 @@ class TextEntitySource:
         batch size with zero-weight instances (keeping shapes static for
         XLA; the InMemoryDocumentSource pad_batch analog, data.h:301-364) —
         note the cost normalizer stays the full batch size, matching how the
-        padded instances contribute zero mass."""
+        padded instances contribute zero mass.
+
+        ``reference_rng`` replays the CUDA reference's host minstd_rand0
+        stream bit-for-bit (data/stdrng.py): per-epoch window positions and
+        the instance shuffle (data_indri.cpp:385-397) plus, when
+        ``num_negative`` > 0, per-instance negative entity ids attached to
+        each batch in consumption order (labels.cu:3-22) — all from ONE
+        shared stream seeded with ``seed``, exactly as the reference's
+        single RNG threads through its pipeline (main.cu:729-756)."""
         self.corpus = corpus
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -97,6 +108,21 @@ class TextEntitySource:
         self.weighting = weighting
         self.feature_weighting = feature_weighting
         self.rng = np.random.RandomState(seed)
+        self.reference_rng = reference_rng
+        self._num_negative = num_negative
+        if reference_rng:
+            if not shuffle:
+                raise ValueError(
+                    "reference_rng replay covers the stochastic generator"
+                )
+            if pad_remainder:
+                raise ValueError(
+                    "reference_rng is incompatible with pad_remainder "
+                    "(the reference drops partial batches, main.cu:392-398)"
+                )
+            from cunvsm_tpu.data.stdrng import MinstdRand0
+
+            self._std_rng = MinstdRand0(seed)
         self.drop_remainder = drop_remainder and not pad_remainder
         self.pad_remainder = pad_remainder
 
@@ -143,6 +169,28 @@ class TextEntitySource:
         n_docs = len(self._eligible)
         k = self._samples_per_doc
         doc_ids = np.repeat(self._eligible, k)
+        if self.reference_rng:
+            # The reference's reset() (data_indri.cpp:328-397): per
+            # document, ascending id (std::map order), k position draws of
+            # uniform_int(0, max_pos - 1); then std::shuffle of the
+            # pointer list — all from the shared minstd_rand0 stream.
+            from cunvsm_tpu.data.stdrng import std_shuffle, uniform_int
+
+            g = self._std_rng
+            max_pos = self._eligible_lengths - self.corpus.window_size + 1
+            positions = np.empty(n_docs * k, dtype=np.int64)
+            i = 0
+            for mp in max_pos:
+                hi = int(mp) - 1
+                for _ in range(k):
+                    positions[i] = uniform_int(g, 0, hi)
+                    i += 1
+            perm = list(range(len(doc_ids)))
+            std_shuffle(perm, g)
+            perm = np.asarray(perm, dtype=np.int64)
+            return InstanceEpoch(
+                doc_ids[perm].astype(np.int32), positions[perm]
+            )
         max_pos = np.repeat(
             self._eligible_lengths - self.corpus.window_size + 1, k
         )
@@ -157,10 +205,26 @@ class TextEntitySource:
     def skip_epochs(self, n: int) -> None:
         """Advance the sampling RNG past n epochs (resume support): a
         resumed run's epoch N+1 must draw the same instances it would have
-        drawn in an uninterrupted run."""
+        drawn in an uninterrupted run.  Under reference_rng the negative
+        draws each trained batch consumed must be replayed too (rejection
+        sampling makes the consumed count data-dependent, so the draws are
+        actually made, not skipped over)."""
         for _ in range(n):
             if self.shuffle:
                 self._stochastic_epoch()
+                if self.reference_rng and self._num_negative:
+                    from cunvsm_tpu.data.stdrng import uniform_int
+
+                    g = self._std_rng
+                    hi = self.corpus.num_docs - 1
+                    n_inst = self.instances_per_epoch()
+                    full = (
+                        n_inst - (n_inst % self.batch_size)
+                        if self.drop_remainder
+                        else n_inst
+                    )
+                    for _ in range(full * self._num_negative):
+                        uniform_int(g, 0, hi)
 
     def instances_per_epoch(self) -> int:
         if self.shuffle:
@@ -226,6 +290,24 @@ class TextEntitySource:
             batch = self._materialize(
                 epoch.doc_ids[start:end], epoch.positions[start:end]
             )
+            if self.reference_rng and self._num_negative:
+                # Negative labels in consumption order from the shared
+                # stream (labels.cu:3-22): k draws per instance, batch by
+                # batch — dropped partial batches never reach the model in
+                # the reference and so consume no draws here either.
+                from cunvsm_tpu.data.stdrng import reference_negative_labels
+
+                batch = batch._replace(
+                    negatives=np.asarray(
+                        reference_negative_labels(
+                            self._std_rng,
+                            batch.labels,
+                            self.corpus.num_docs,
+                            self._num_negative,
+                        ),
+                        dtype=np.int32,
+                    )
+                )
             if self.pad_remainder and end - start < bs:
                 pad = bs - (end - start)
                 batch = TextEntityBatchNp(

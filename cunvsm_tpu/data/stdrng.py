@@ -1,0 +1,158 @@
+"""Bit-exact twins of the libstdc++ RNG machinery the CUDA reference trains
+with, for opt-in reference-RNG replay.
+
+The reference's host RNG is ``std::minstd_rand0``
+(/root/reference/include/cuNVSM/base.h:36), consumed through three libstdc++
+algorithms whose outputs are implementation-defined by the C++ standard but
+fixed for libstdc++ (the toolchain the reference builds under):
+
+* ``std::uniform_int_distribution`` — negative labels (cpp/labels.cu:3-22 via
+  cuda_utils.h:24-33 ``generate_random_indexes``) and per-document window
+  positions (cpp/data_indri.cpp:385-388);
+* ``std::shuffle`` — the per-epoch instance-pointer shuffle
+  (cpp/data_indri.cpp:397), including libstdc++'s paired-swap fast path;
+* ``std::generate_canonical<float, 1>`` — Glorot init
+  (cuda_utils.h:35-47 ``init_matrix_glorot``).
+
+Every function here is pinned bit-for-bit against real libstdc++ output
+(tests/test_stdrng.py; goldens produced by tools/stdrng_golden.cpp) so a
+training run with ``TrainConfig.reference_rng=True`` draws the exact instance
+order and negative-label stream the CUDA binary draws for the same seed —
+the one interop check stronger than checkpoint-loader parity.  Model init
+stays jax-PRNG (document the offset with :meth:`MinstdRand0.discard`, which
+jumps the stream in O(log n); the reference consumes exactly one draw per
+initialized matrix element between its first epoch reset and the first
+batch's negatives).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, MutableSequence, Sequence
+
+_M = 2147483647  # minstd modulus 2^31 - 1
+_A = 16807  # minstd_rand0 multiplier
+_RANGE = _M - 2  # urngrange = max - min = (m-2) - 1 + ... = 2147483645
+
+
+class MinstdRand0:
+    """``std::minstd_rand0``: x' = 16807 * x mod (2^31 - 1).
+
+    min() = 1, max() = 2^31 - 2.  Seeding follows
+    ``linear_congruential_engine::seed``: state = seed mod m, or 1 when that
+    is 0 (c == 0).
+    """
+
+    __slots__ = ("state",)
+
+    def __init__(self, seed: int = 1):
+        self.seed(seed)
+
+    def seed(self, seed: int) -> None:
+        s = seed % _M
+        self.state = s if s else 1
+
+    def __call__(self) -> int:
+        self.state = (self.state * _A) % _M
+        return self.state
+
+    def discard(self, n: int) -> None:
+        """Advance by ``n`` draws in O(log n) (LCG jump via modexp) —
+        ``std::minstd_rand0::discard`` equivalent, used to skip past draw
+        ranges we do not replay (e.g. the reference's Glorot init)."""
+        self.state = (self.state * pow(_A, n, _M)) % _M
+
+
+def uniform_int(g: MinstdRand0, a: int, b: int) -> int:
+    """``std::uniform_int_distribution<int>(a, b)(g)`` — libstdc++'s
+    downscaling-with-rejection algorithm (bits/uniform_int_dist.h).  Always
+    consumes at least one draw, even for a == b (matching libstdc++)."""
+    urange = b - a
+    if urange > _RANGE:  # upscaling branch: never reached for int32 params
+        raise NotImplementedError("urange exceeds the minstd range")
+    if urange == _RANGE:  # libstdc++'s equality branch: raw passthrough
+        return g() - 1 + a
+    uerange = urange + 1
+    scaling = _RANGE // uerange
+    past = uerange * scaling
+    while True:
+        ret = g() - 1
+        if ret < past:
+            return ret // scaling + a
+
+
+def uniform_ints(g: MinstdRand0, n: int, a: int, b: int) -> List[int]:
+    """``n`` consecutive ``uniform_int`` draws (one distribution object per
+    call site is equivalent: the distribution is stateless for these
+    parameter types)."""
+    return [uniform_int(g, a, b) for _ in range(n)]
+
+
+def std_shuffle(seq: MutableSequence, g: MinstdRand0) -> None:
+    """``std::shuffle(seq.begin(), seq.end(), g)`` — libstdc++'s algorithm
+    (bits/stl_algo.h), including the paired-swap fast path that packs two
+    swap positions into one engine draw when urange^2 <= urngrange."""
+    n = len(seq)
+    if n <= 1:
+        return
+    if _RANGE // n >= n:  # i.e. n * n <= urngrange
+        i = 1
+        if n % 2 == 0:
+            j = uniform_int(g, 0, 1)
+            seq[i], seq[j] = seq[j], seq[i]
+            i += 1
+        while i < n:
+            swap_range = i + 1
+            # __gen_two_uniform_ints(swap_range, swap_range + 1, g)
+            x = uniform_int(g, 0, swap_range * (swap_range + 1) - 1)
+            p0, p1 = divmod(x, swap_range + 1)
+            seq[i], seq[p0] = seq[p0], seq[i]
+            i += 1
+            seq[i], seq[p1] = seq[p1], seq[i]
+            i += 1
+        return
+    for i in range(1, n):
+        j = uniform_int(g, 0, i)
+        seq[i], seq[j] = seq[j], seq[i]
+
+
+def generate_canonical_f32(g: MinstdRand0) -> float:
+    """``std::generate_canonical<float, 1>(g)``: one engine draw, computed
+    in float32 exactly as libstdc++ does (sum and divisor both f32)."""
+    raw = float(g() - 1)
+    num = struct.unpack("f", struct.pack("f", raw))[0]
+    den = struct.unpack("f", struct.pack("f", float(_M - 1)))[0]
+    ret = struct.unpack("f", struct.pack("f", num / den))[0]
+    # libstdc++ clamps the (rare) ret == 1.0 case to nextafter(1, 0).
+    if ret >= 1.0:
+        ret = struct.unpack("<f", struct.pack("<I", 0x3F7FFFFF))[0]
+    return ret
+
+
+def glorot_uniform_f32(
+    g: MinstdRand0, rows: int, cols: int
+) -> List[float]:
+    """``init_matrix_glorot`` (cuda_utils.h:35-47): row-major
+    ``2 * max * (canonical - 0.5)`` with max = sqrt(6 / (rows + cols)),
+    computed in float32 like the reference's FLOATING_POINT_TYPE=float
+    build."""
+    import math
+
+    def f32(x: float) -> float:
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    mx = f32(math.sqrt(6.0 / (rows + cols)))
+    out = []
+    for _ in range(rows * cols):
+        c = generate_canonical_f32(g)
+        out.append(f32(f32(2.0 * mx) * f32(c - 0.5)))
+    return out
+
+
+def reference_negative_labels(
+    g: MinstdRand0, labels: Sequence[int], num_entities: int, k: int
+) -> List[List[int]]:
+    """The reference's per-batch negative-label stream
+    (cpp/labels.cu:3-22): for each instance in batch order, ``k`` draws of
+    ``uniform_int(0, num_entities - 1)`` from the shared stream."""
+    return [uniform_ints(g, k, 0, num_entities - 1) for _ in labels]

@@ -44,12 +44,16 @@ class TextEntityBatch(NamedTuple):
                      self-information -> -log(tf/total), data.h:464-488).
     labels:          [B] int32 entity (document) ids.
     weights:         [B] per-instance weights.  Padding rows carry weight 0.
+    negatives:       optional [B, k] int32 pre-drawn negative entity ids
+                     (reference-RNG replay: the host minstd_rand0 stream,
+                     labels.cu:3-22); None -> the step draws on device.
     """
 
     features: jax.Array
     feature_weights: jax.Array
     labels: jax.Array
     weights: jax.Array
+    negatives: Optional[jax.Array] = None
 
 
 class SimilarityBatch(NamedTuple):

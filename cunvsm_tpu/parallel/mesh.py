@@ -114,6 +114,8 @@ def batch_shardings(mesh: Mesh, batch, stacked: bool = False):
         return tuple(batch_shardings(mesh, b, stacked) for b in batch)
 
     def leaf_sharding(leaf):
+        if leaf is None:  # optional fields (e.g. TextEntityBatch.negatives)
+            return None
         if stacked:
             spec = P(None, DATA_AXIS, *([None] * (leaf.ndim - 2)))
         else:

@@ -88,6 +88,15 @@ def resolve_negative_sampling(cfg: TrainConfig, desc: ModelDesc,
     (0, 1) for per-instance sampling."""
     k = cfg.num_random_entities
     p = cfg.negative_pool_size
+    if cfg.reference_rng:
+        # Reference-RNG replay feeds host-drawn per-instance negatives;
+        # pooled/shared layouts sample differently by construction.
+        if cfg.shared_negatives or p > 0:
+            raise ValueError(
+                "reference_rng requires per-instance negative sampling "
+                "(negative_pool_size 0 or -1, no shared_negatives)"
+            )
+        return 0, 1
     if p == -1:
         if (
             cfg.shared_negatives
@@ -179,10 +188,18 @@ def _text_entity_grads(params, batch, key, desc, cfg, num_entities=None):
             window_sum_dtype=cfg.resolved_window_sum_dtype(),
         )
         return cost, grads
-    entity_ids = obj.sample_negative_entities(
-        key, batch.labels, num_entities or params.num_entities,
-        cfg.num_random_entities,
-    )
+    negatives = getattr(batch, "negatives", None)
+    if negatives is not None:
+        # Reference-RNG replay: negatives were drawn on the host from the
+        # minstd_rand0 stream (labels.cu:3-22) and ride in the batch.
+        entity_ids = jnp.concatenate(
+            [batch.labels[:, None], negatives], axis=1
+        )
+    else:
+        entity_ids = obj.sample_negative_entities(
+            key, batch.labels, num_entities or params.num_entities,
+            cfg.num_random_entities,
+        )
     cost, _, grads = obj.text_entity_cost_and_grads(
         params, batch, entity_ids, desc,
         factored_entity_grads=_accumulate_only_optimizer(cfg),

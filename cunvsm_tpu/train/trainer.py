@@ -65,11 +65,13 @@ def _to_device_batch(np_batch):
         return obj.SimilarityBatch(
             ids=jnp.asarray(np_batch.ids), weights=jnp.asarray(np_batch.weights)
         )
+    negatives = getattr(np_batch, "negatives", None)
     return obj.TextEntityBatch(
         features=jnp.asarray(np_batch.features),
         feature_weights=jnp.asarray(np_batch.feature_weights),
         labels=jnp.asarray(np_batch.labels),
         weights=jnp.asarray(np_batch.weights),
+        negatives=None if negatives is None else jnp.asarray(negatives),
     )
 
 
@@ -145,6 +147,11 @@ def train_model(
             "uniform_feature_weights requires UNIFORM feature weighting"
         )
 
+    if cfg.reference_rng and on_device_sampling:
+        raise ValueError(
+            "reference_rng replays the host minstd_rand0 pipeline; "
+            "on_device_sampling draws on device — pick one"
+        )
     source = TextEntitySource(
         corpus,
         batch_size=cfg.batch_size,
@@ -152,6 +159,8 @@ def train_model(
         weighting=weighting,
         feature_weighting=feature_weighting,
         seed=cfg.seed,
+        reference_rng=cfg.reference_rng,
+        num_negative=cfg.num_random_entities if cfg.reference_rng else 0,
     )
     if kind != ObjectiveKind.TEXT_ENTITY and similarity_source is None:
         raise ValueError(f"objective {kind} requires a similarity source")

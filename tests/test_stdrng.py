@@ -1,0 +1,112 @@
+"""Bit-level validation of the libstdc++ RNG twins (data/stdrng.py).
+
+Golden values were produced by real libstdc++ via tools/stdrng_golden.cpp
+(g++ -O2 -std=c++14), mirroring the reference's exact consumption patterns:
+minstd_rand0 (/root/reference/include/cuNVSM/base.h:36), uniform ints
+(cuda_utils.h:24-33), the instance shuffle (cpp/data_indri.cpp:397), Glorot
+canonical draws (cuda_utils.h:35-47), and the negative-label stream
+(cpp/labels.cu:3-22).  If these pass, a reference_rng training run draws
+bit-identical instance orders and label streams to the CUDA binary.
+"""
+
+import struct
+
+import numpy as np
+
+from cunvsm_tpu.data.stdrng import (
+    MinstdRand0,
+    generate_canonical_f32,
+    glorot_uniform_f32,
+    reference_negative_labels,
+    std_shuffle,
+    uniform_int,
+)
+
+RAW_SEED1 = [16807, 282475249, 1622650073, 984943658, 1144108930,
+             470211272, 101027544, 1457850878]
+RAW_SEED12345 = [207482415, 1790989824, 2035175616, 77048696, 24794531,
+                 109854999, 1644515420, 1256127050]
+UNIFORM_INTS_SEED1 = [0, 0, 197330, 6, 1144108929, 2, 0, 177289, 7,
+                      2007237708, 3, 0, 217011, 5, 114807986, 5, 0, 2010,
+                      6, 143542611]
+SHUFFLE10_SEED7 = [1, 6, 5, 7, 0, 9, 8, 3, 4, 2]
+SHUFFLE13_SEED7 = [2, 7, 1, 10, 3, 12, 11, 9, 0, 5, 4, 8, 6]
+SHUFFLE50000_SEED7_HEAD = [14719, 37942, 36763, 25438, 32228, 4954, 45809,
+                           40940]
+SHUFFLE50000_SEED7_HASH = 997432716
+CANONICAL_F32_BITS_SEED3 = [935654400, 1053428419, 1049140250, 1052802194,
+                            1058613837, 1059596577, 1041270116, 1024844735]
+LABELS_SEED1_E100_K3 = [0, 13, 75, 45, 53, 21, 4, 67, 67, 93, 38, 51]
+
+
+def test_raw_engine():
+    for seed, want in ((1, RAW_SEED1), (12345, RAW_SEED12345)):
+        g = MinstdRand0(seed)
+        assert [g() for _ in range(8)] == want
+
+
+def test_seed_zero_maps_to_one():
+    assert MinstdRand0(0).state == 1
+    assert MinstdRand0(2147483647).state == 1
+
+
+def test_uniform_int_distribution():
+    g = MinstdRand0(1)
+    got = []
+    for _ in range(4):
+        got.append(uniform_int(g, 0, 9))
+        got.append(uniform_int(g, 0, 0))
+        got.append(uniform_int(g, 0, 261143))
+        got.append(uniform_int(g, 5, 7))
+        got.append(uniform_int(g, 0, 2147483645))
+    assert got == UNIFORM_INTS_SEED1
+
+
+def test_std_shuffle_paired_fast_path():
+    for n, want in ((10, SHUFFLE10_SEED7), (13, SHUFFLE13_SEED7)):
+        g = MinstdRand0(7)
+        v = list(range(n))
+        std_shuffle(v, g)
+        assert v == want
+
+
+def test_std_shuffle_per_element_fallback():
+    g = MinstdRand0(7)
+    v = list(range(50000))
+    std_shuffle(v, g)
+    assert v[:8] == SHUFFLE50000_SEED7_HEAD
+    h = 0
+    for x in v:
+        h = (h * 1000003 + x) % 1000000007
+    assert h == SHUFFLE50000_SEED7_HASH
+
+
+def test_generate_canonical_f32_bits():
+    g = MinstdRand0(3)
+    got = [
+        struct.unpack("<I", struct.pack("<f", generate_canonical_f32(g)))[0]
+        for _ in range(8)
+    ]
+    assert got == CANONICAL_F32_BITS_SEED3
+
+
+def test_reference_negative_label_stream():
+    g = MinstdRand0(1)
+    rows = reference_negative_labels(g, [0, 1, 2, 3], 100, 3)
+    assert [x for row in rows for x in row] == LABELS_SEED1_E100_K3
+
+
+def test_discard_matches_sequential():
+    g1, g2 = MinstdRand0(42), MinstdRand0(42)
+    for _ in range(1337):
+        g1()
+    g2.discard(1337)
+    assert g1.state == g2.state
+
+
+def test_glorot_range():
+    g = MinstdRand0(3)
+    vals = np.asarray(glorot_uniform_f32(g, 30, 20))
+    mx = np.sqrt(6.0 / 50)
+    assert np.all(np.abs(vals) <= mx)
+    assert np.std(vals) > 0.1 * mx
