@@ -18,6 +18,7 @@ import json
 import logging
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -45,6 +46,22 @@ def main(argv=None):
     p.add_argument("--negative_pool_size", type=int, default=-1)
     p.add_argument("--negative_pool_stride", type=int, default=0)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--on_device_sampling", action="store_true",
+                   help="sample batches inside the compiled step (the "
+                        "collection-scale fast path)")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="steps chained per compiled call (dispatch "
+                        "amortization through the remote tunnel)")
+    p.add_argument("--checkpoint_every", type=int, default=1,
+                   help="dump model/resume state every N epochs (collection"
+                        "-scale snapshots are large; validation epochs "
+                        "should stay on the dump cadence)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue a crashed/interrupted run from the last "
+                        "dumped epoch in --workdir")
+    p.add_argument("--fail_after_epoch", type=int, default=0,
+                   help="rehearsal hook: raise after this epoch completes "
+                        "to exercise crash + --resume recovery")
     args = p.parse_args(argv)
     logging.basicConfig(level="INFO", format="%(asctime)s %(message)s")
 
@@ -143,8 +160,8 @@ def main(argv=None):
         negative_pool_stride=args.negative_pool_stride,
     )
     prefix = os.path.join(args.workdir, "nvsm")
-
-    validation_curve = []
+    curve_path = os.path.join(args.workdir, "validation_curve.jsonl")
+    t_start = time.time()
 
     def validate(epoch, params, cost):
         if epoch % args.eval_every and epoch != cfg.num_epochs:
@@ -157,11 +174,30 @@ def main(argv=None):
         )
         run = engine.rank(val_queries, top_k=1000)
         m = evaluate_run(run, val_qrels, measures=("map",))["map"]
-        validation_curve.append((epoch, m))
+        # Persist across crash + --resume: the post-resume process must
+        # still select over the pre-crash epochs.
+        with open(curve_path, "a") as f:
+            f.write(json.dumps({"epoch": epoch, "map": m}) + "\n")
         logging.info("Epoch %d validation MAP = %.4f", epoch, m)
+        if args.fail_after_epoch and epoch >= args.fail_after_epoch:
+            raise RuntimeError(
+                f"rehearsal: simulated crash after epoch {epoch}"
+            )
 
-    train_model(desc, cfg, corpus, output_prefix=prefix, epoch_callback=validate)
+    train_model(
+        desc, cfg, corpus, output_prefix=prefix, epoch_callback=validate,
+        on_device_sampling=args.on_device_sampling,
+        steps_per_call=args.steps_per_call,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
+    )
 
+    curve = {}
+    with open(curve_path) as f:
+        for line in f:
+            rec = json.loads(line)
+            curve[rec["epoch"]] = rec["map"]  # last write wins per epoch
+    validation_curve = sorted(curve.items())
     best_epoch, best_val = max(validation_curve, key=lambda x: x[1])
     logging.info(
         "Best epoch %d (validation MAP %.4f).", best_epoch, best_val
@@ -173,9 +209,13 @@ def main(argv=None):
     results = {
         "best_epoch": best_epoch,
         "validation_map": best_val,
+        "validation_curve": validation_curve,
         "nvsm_test_map": evaluate_run(
             nvsm_run, test_qrels, measures=("map",)
         )["map"],
+        "wall_clock_s": round(time.time() - t_start, 1),
+        "num_docs": corpus.num_docs,
+        "resumed": bool(args.resume),
     }
 
     qlm_index = build_qlm_index(corpus)
