@@ -155,6 +155,13 @@ class TrainConfig:
     #      accumulate-only optimizer, and no entity L2 normalization.
     negative_pool_size: int = -1
 
+    # Cross-chip reduce width of the word-gradient psum under a mesh:
+    # "auto" (default) runs the [V, d_w] partial all-reduce in bfloat16
+    # when stream_dtype is bfloat16 (the partials sum bf16-quantized
+    # entries; per-chip accumulation stays float32) and float32 otherwise.
+    # Explicit "float32"/"bfloat16" override.  Single-chip runs ignore it.
+    cross_chip_reduce_dtype: str = "auto"
+
     # Reference-RNG replay (opt-in interop/debug mode): draw the per-epoch
     # instance order AND the per-instance negative labels on the host from
     # a bit-exact twin of the reference's std::minstd_rand0 stream
@@ -244,6 +251,21 @@ class TrainConfig:
             if self.window_sum_dtype == "float32"
             else self.window_sum_dtype
         )
+
+    def resolved_cross_chip_reduce_dtype(self) -> Optional[str]:
+        """Element type of the cross-chip word-gradient psum under a mesh
+        (None = full width).  "auto" reduces in bfloat16 exactly when the
+        gradient streams are already bfloat16-quantized (stream_dtype):
+        the [V, d_w] partial-sum all-reduce is the largest per-step
+        collective (PERFORMANCE.md comm table) and halving its width
+        halves it; each chip still accumulates its local partial in
+        float32, so only the N_dev-way cross-chip sum runs at stream
+        width."""
+        if self.cross_chip_reduce_dtype == "auto":
+            return "bfloat16" if self.stream_dtype == "bfloat16" else None
+        if self.cross_chip_reduce_dtype == "float32":
+            return None
+        return self.cross_chip_reduce_dtype
 
     def resolved_learning_rate(self) -> float:
         if self.learning_rate != 0.0:

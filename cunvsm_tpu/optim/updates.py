@@ -119,6 +119,7 @@ def _data_sharded_accumulate(
     mesh,
     stream_dtype=None,
     accum_dtype=None,
+    reduce_dtype=None,
 ) -> jax.Array:
     """Data-parallel dense accumulation for a *replicated* table under a
     device mesh.
@@ -141,7 +142,15 @@ def _data_sharded_accumulate(
     same volume as the data-parallel word-gradient sync itself.  Requires
     the instance count divisible by the TOTAL device count.  Summation is exact:
     only the order of partial sums changes.  Asserted on the compiled HLO
-    in tests/test_sharding.py."""
+    in tests/test_sharding.py.
+
+    ``reduce_dtype`` (e.g. "bfloat16") narrows ONLY the cross-chip psum:
+    each chip's local partial still accumulates at full width; the
+    N_dev-way sum of partials runs at stream width, halving the largest
+    per-step collective (the [V, d_w] all-reduce, PERFORMANCE.md comm
+    table).  Sound when the stream entries are bf16-quantized anyway
+    (stream_dtype bfloat16): the extra rounding is one bf16 quantization
+    of values that are themselves sums of bf16-quantized terms."""
     from functools import partial
 
     from jax import shard_map
@@ -185,6 +194,11 @@ def _data_sharded_accumulate(
         dense = _sorted_segment_accumulate(
             num_rows, local, stream_dtype, accum_dtype
         )
+        if reduce_dtype is not None:
+            out_dtype = dense.dtype
+            return jax.lax.psum(
+                dense.astype(reduce_dtype), axes
+            ).astype(out_dtype)
         return jax.lax.psum(dense, axes)
 
     return acc(grads, indices, weights)
@@ -472,7 +486,7 @@ def _repr_adam_dense_update(state, table, descs, lr, lam, beta1, beta2, eps):
 
 def _repr_adam_full(
     state, table, descs, lr, lam, beta1, beta2, eps, stream_dtype=None,
-    accum_dtype=None, data_shard_mesh=None,
+    accum_dtype=None, data_shard_mesh=None, reduce_dtype=None,
 ):
     # DENSE_UPDATE_DENSE_VARIANCE mode (updates_adam.cu:203-213,253-282,
     # 312-328): dense m and v with L2 folded into the moments.  The m update
@@ -485,7 +499,7 @@ def _repr_adam_full(
     if data_shard_mesh is not None:
         scattered = _data_sharded_accumulate(
             table.shape[0], tuple(descs), data_shard_mesh,
-            stream_dtype, accum_dtype,
+            stream_dtype, accum_dtype, reduce_dtype,
         )
     else:
         scattered = _sorted_segment_accumulate(
@@ -640,6 +654,7 @@ class Optimizer:
                 data_shard_mesh=(
                     self.data_shard_mesh if data_sharded else None
                 ),
+                reduce_dtype=cfg.resolved_cross_chip_reduce_dtype(),
             )
         else:
             raise ValueError(f"unknown adam mode {mode}")

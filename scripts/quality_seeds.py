@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 CONFIGS = {
     # name -> TrainConfig overrides (all on bf16 streams + bf16 window sums)
+    "auto": dict(),  # the literal shipped default (scale-aware resolution)
     "perinst": dict(negative_pool_size=0),
     "pool2048": dict(negative_pool_size=2048),
     "pool2048_s205": dict(negative_pool_size=2048, negative_pool_stride=205),
@@ -78,7 +79,14 @@ def main(argv=None):
     qrels = read_qrels(os.path.join(args.data_dir, "cranfield.qrel"))
 
     qlm_index = build_qlm_index(corpus)
-    qlm_run = qlm_rank(qlm_index, queries, smoothing="dirichlet", prf=True)
+    qlm_runs = {
+        "dirichlet_prf": qlm_rank(
+            qlm_index, queries, smoothing="dirichlet", prf=True
+        ),
+        # The reference's TUTORIAL headline cell (NVSM + QLM-JM + PRF,
+        # 0.4345 at its single seed, TUTORIAL.md:98).
+        "jm_prf": qlm_rank(qlm_index, queries, smoothing="jm", prf=True),
+    }
 
     desc = ModelDesc(
         word_repr_size=300, entity_repr_size=256,
@@ -107,15 +115,18 @@ def main(argv=None):
         )
         run = engine.rank(queries, top_k=1000)
         m = evaluate_run(run, qrels, measures=("map",))["map"]
-        fused = fuse_fixed_alpha(
-            run, qlm_run, alpha=0.5, normalizer="standardize"
-        )
-        fm = evaluate_run(fused, qrels, measures=("map",))["map"]
         line = {
             "config": args.config, "seed": seed,
-            "map": round(m, 4), "fusion_dirichlet_prf_map": round(fm, 4),
+            "map": round(m, 4),
             "minutes": round((time.time() - start) / 60.0, 1),
         }
+        for name, qlm_run in qlm_runs.items():
+            fused = fuse_fixed_alpha(
+                run, qlm_run, alpha=0.5, normalizer="standardize"
+            )
+            line[f"fusion_{name}_map"] = round(
+                evaluate_run(fused, qrels, measures=("map",))["map"], 4
+            )
         with open(args.out, "a") as f:
             f.write(json.dumps(line) + "\n")
         logging.info("RESULT %s", json.dumps(line))

@@ -59,6 +59,13 @@ def main(argv=None):
                    help="comma-separated subset of models to train")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu)")
+    p.add_argument("--mesh", default=None,
+                   help="train under a 'DATAxMODEL' device mesh (e.g. 2x4 "
+                        "on the 8-virtual-device CPU test platform)")
+    p.add_argument("--cross_chip_reduce_dtype", default="auto",
+                   choices=("auto", "float32", "bfloat16"),
+                   help="width of the cross-chip word-gradient psum under "
+                        "a mesh (TrainConfig.cross_chip_reduce_dtype)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level="INFO", format="%(asctime)s %(message)s")
@@ -67,6 +74,11 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu" and args.mesh:
+            data_axis, model_axis = (int(x) for x in args.mesh.split("x"))
+            jax.config.update(
+                "jax_num_cpu_devices", data_axis * model_axis
+            )
 
     from cunvsm_tpu.config import (
         AdamConfig,
@@ -147,7 +159,14 @@ def main(argv=None):
         seed=args.seed,
         stream_dtype=args.stream_dtype,
         window_sum_dtype=args.window_sum_dtype,
+        cross_chip_reduce_dtype=args.cross_chip_reduce_dtype,
     )
+    mesh = None
+    if args.mesh:
+        from cunvsm_tpu.parallel.mesh import make_mesh
+
+        data_axis, model_axis = (int(x) for x in args.mesh.split("x"))
+        mesh = make_mesh(data_axis, model_axis)
 
     selected = set(args.models.split(","))
     model_runs = {}
@@ -180,7 +199,7 @@ def main(argv=None):
         cfg = TrainConfig(batch_size=batch_size, **base_train)
         prefix = os.path.join(args.workdir, model_name)
         logging.info("Training %s (%d epochs)...", model_name, epochs)
-        train_model(desc, cfg, corpus, output_prefix=prefix)
+        train_model(desc, cfg, corpus, output_prefix=prefix, mesh=mesh)
 
         engine = load_query_engine(prefix, epochs, nonlinearity=query_nl)
         run = engine.rank(queries, top_k=1000)

@@ -421,7 +421,7 @@ def test_query_engine_mesh_second_topk_masks_padding():
 # ---------------------------------------------------------------------------
 
 
-def _train_step_hlo(pool, big=True):
+def _train_step_hlo(pool, big=True, stream_dtype="float32"):
     """Compile the sharded train step at realistic-RATIO shapes and return
     (hlo_text, dims).  Shapes are chosen so the failure modes are separated
     by orders of magnitude: entity table D*d_e >> word stream B*W*d_w >
@@ -442,6 +442,8 @@ def _train_step_hlo(pool, big=True):
         learning_rate=1e-3, regularization_lambda=1e-2,
         uniform_feature_weights=True,
         negative_pool_size=pool,
+        stream_dtype=stream_dtype,
+        window_sum_dtype=stream_dtype,
     )
     params = init_params(jax.random.PRNGKey(0), V, D, desc)
     opt = Optimizer(cfg)
@@ -457,8 +459,10 @@ def _train_step_hlo(pool, big=True):
     step, p_s, o_s = make_sharded_train_step(
         desc, cfg, mesh, params, opt_state, batch, num_entities=D
     )
-    hlo = step.lower(p_s, o_s, batch, jax.random.PRNGKey(0)).compile().as_text()
-    return hlo, dict(D=D, V=V, d_e=d_e, d_w=d_w, B=B_, W=W_, k=k, pool=pool)
+    lowered = step.lower(p_s, o_s, batch, jax.random.PRNGKey(0))
+    hlo = lowered.compile().as_text()
+    dims = dict(D=D, V=V, d_e=d_e, d_w=d_w, B=B_, W=W_, k=k, pool=pool)
+    return hlo, dims, lowered.as_text()
 
 
 def test_sharded_train_step_comm_volume_pooled():
@@ -472,7 +476,7 @@ def test_sharded_train_step_comm_volume_pooled():
     (614 MB/step at canonical shapes)."""
     from cunvsm_tpu.parallel import audit
 
-    hlo, s = _train_step_hlo(pool=64)
+    hlo, s, _ = _train_step_hlo(pool=64)
     cs = audit.collectives(hlo)
     assert cs, "expected collectives on a 2x4 mesh"
 
@@ -508,7 +512,7 @@ def test_sharded_train_step_comm_volume_per_instance():
     to the pooled layout."""
     from cunvsm_tpu.parallel import audit
 
-    hlo, s = _train_step_hlo(pool=0)
+    hlo, s, _ = _train_step_hlo(pool=0)
     table_bytes = s["D"] * s["d_e"] * 4
     assert audit.max_collective_bytes(hlo) < table_bytes // 4, (
         audit.format_table(hlo)
@@ -525,3 +529,95 @@ def test_sharded_train_step_comm_volume_per_instance():
         if part[1] and part[1][0] >= s["B"] * s["W"] and len(part[1]) > 1
     ]
     assert not word_ops, audit.format_table(hlo)
+
+
+def test_sharded_word_psum_bf16_under_bf16_streams():
+    """cross_chip_reduce_dtype auto: with bfloat16 streams the [V, d_w]
+    word-gradient psum — the largest per-step collective (PERFORMANCE.md
+    comm table) — crosses the interconnect at bf16, halving it; per-chip
+    partial accumulation stays full-width (the cast sits between the
+    local dense reduce and the all-reduce).
+
+    Asserted on the LOWERED (pre-backend) module: the CPU backend used by
+    the test mesh emulates bf16 by widening — its compiled HLO shows an
+    f32 all-reduce of converted values — while the TPU backend keeps bf16
+    collectives on the wire; the StableHLO all_reduce element type is the
+    platform-neutral statement of what TPU moves."""
+    import re
+
+    def word_reduce_types(low, s):
+        """Element types of all_reduce ops over the [V, d_w] word table in
+        the lowered module (the all_reduce signature repeats the tensor
+        type as `(tensor<VxDxT>) -> tensor<VxDxT>` within a few lines of
+        the op)."""
+        sig = rf"\(tensor<{s['V']}x{s['d_w']}x(\w+)>\)\s*->"
+        out = []
+        lines = low.splitlines()
+        for i, line in enumerate(lines):
+            if "stablehlo.all_reduce" not in line:
+                continue
+            window = "\n".join(lines[i : i + 7])
+            m = re.search(sig, window)
+            if m:
+                out.append(m.group(1))
+        return out
+
+    _, s, low = _train_step_hlo(pool=64, stream_dtype="bfloat16")
+    assert word_reduce_types(low, s) == ["bf16"], word_reduce_types(low, s)
+    # f32 default: the same psum stays full-width.
+    _, _, low32 = _train_step_hlo(pool=64, stream_dtype="float32")
+    assert word_reduce_types(low32, s) == ["f32"]
+
+
+def test_bf16_cross_chip_reduce_numerics():
+    """One sharded step with the bf16 cross-chip reduce stays within bf16
+    rounding of the f32-reduce sharded step (same seed, same batch)."""
+    import dataclasses
+
+    from cunvsm_tpu.config import Nonlinearity
+
+    D, V, d_e, d_w, B_, W_, k = 256, 64, 8, 8, 64, 4, 2
+    desc = ModelDesc(
+        word_repr_size=d_w, entity_repr_size=d_e,
+        nonlinearity=Nonlinearity.HARD_TANH, batch_normalization=True,
+    )
+    base = dict(
+        batch_size=B_, window_size=W_, num_random_entities=k,
+        update_method=UpdateMethod.ADAM,
+        adam=AdamConfig(mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
+        learning_rate=1e-3, regularization_lambda=1e-2,
+        uniform_feature_weights=True, negative_pool_size=16,
+        stream_dtype="bfloat16",
+    )
+    rng = np.random.RandomState(0)
+    batch = obj.TextEntityBatch(
+        features=jnp.asarray(rng.randint(0, V, (B_, W_)), jnp.int32),
+        feature_weights=jnp.ones((B_, W_), jnp.float32),
+        labels=jnp.asarray(rng.randint(0, D, (B_,)), jnp.int32),
+        weights=jnp.ones((B_,), jnp.float32),
+    )
+    mesh = make_mesh(2, 4)
+    results = {}
+    for reduce_dtype in ("float32", "bfloat16"):
+        cfg = TrainConfig(**base, cross_chip_reduce_dtype=reduce_dtype)
+        params = init_params(
+            jax.random.PRNGKey(0), V, D, desc, dtype=jnp.float32
+        )
+        opt = Optimizer(cfg)
+        opt_state = opt.init(params)
+        step, p_s, o_s = make_sharded_train_step(
+            desc, cfg, mesh, params, opt_state, batch, num_entities=D
+        )
+        p, o, c = step(p_s, o_s, batch, jax.random.PRNGKey(1))
+        results[reduce_dtype] = (
+            np.asarray(p.word_reprs), float(c)
+        )
+    w32, c32 = results["float32"]
+    wb, cb = results["bfloat16"]
+    assert np.isfinite(cb) and abs(cb - c32) < 1e-5  # forward unchanged
+    # Word rows move by ~lr (1e-3) per Adam step; the bf16 reduce rounds
+    # the gradient by 2^-8 relative, which Adam's 1/sqrt(v) amplifies a
+    # few-fold on the first step (v is built from the same rounded
+    # gradient) — measured ~4e-5 absolute here.  Quality-level validation
+    # is the Cranfield mesh spot check (PERFORMANCE.md).
+    np.testing.assert_allclose(wb, w32, atol=1e-4)
