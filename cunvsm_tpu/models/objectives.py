@@ -666,9 +666,20 @@ def rolled_pool_negative_ids(
     pool_ids: jax.Array, batch_size: int, num_negative: int, stride: int = 1
 ) -> jax.Array:
     """The per-instance negative ids the rolled-pool scheme assigns:
-    instance b uses pool slots (b % P + j*stride) % P for j in [0, k)."""
+    instance b has residue r = b // (B/P) and uses pool slots
+    (r + j*stride) % P for j in [0, k).
+
+    The residue is the *contiguous-block* index (b // Q with Q = B/P), not
+    b % P: blocks keep the batch axis contiguous per residue, so under a
+    data-sharded mesh the residue-major view [P, Q, d] is a plain reshape
+    whose leading axis GSPMD shards cleanly — no projections all-gather
+    (round 4; tests/test_sharding.py asserts it).  The instance order is
+    already a global per-epoch shuffle, so which instances share a slot
+    window is statistically identical either way; every instance still
+    scores k distinct iid-uniform pool slots."""
     P = pool_ids.shape[0]
-    r = jnp.arange(batch_size, dtype=jnp.int32) % P
+    q = batch_size // P
+    r = jnp.arange(batch_size, dtype=jnp.int32) // q
     slots = (
         r[:, None]
         + stride * jnp.arange(num_negative, dtype=jnp.int32)[None, :]
@@ -693,19 +704,23 @@ def text_entity_cost_and_grads_pooled(
     The TPU-native middle ground between per-instance sampling (exact
     reference semantics, B*k scattered gradient rows) and fully-shared
     negatives (GEMM structure, but one pool for the whole batch): a pool of
-    P uniform negative ids is drawn per step and instance b scores against
-    the k *cyclically-shifted* pool slots (b % P)+j.  Every instance keeps
-    the reference's per-example loss form — exactly k uniform negatives
-    with the same bias correction (objective.cu:258-290) — while per step
-    P distinct documents receive negative updates and all heavy ops stay
-    dense:
+    P uniform negative ids is drawn per step and instance b (residue
+    r = b // Q, Q = B/P) scores against the k *cyclically-shifted* pool
+    slots (r + j*stride) % P.  Every instance keeps the reference's
+    per-example loss form — exactly k uniform negatives with the same bias
+    correction (objective.cu:258-290) — while per step P distinct
+    documents receive negative updates and all heavy ops stay dense:
 
       * negative dots: one [P]-batched (Q x d) @ (d x k) GEMM over the
-        residue-major reshape proj[Q, P, d] and the pool windows
-        pool_windows[P, k, d] (window r = pool rows (r+j) % P);
+        residue-major view proj.reshape(P, Q, d) — a FREE contiguous
+        reshape (residues are contiguous blocks of the batch axis, see
+        rolled_pool_negative_ids), so under a data-sharded mesh the
+        batched GEMM shards over residues with no projections all-gather
+        (round 4) — and the pool windows pool_windows[P, k, d] (window
+        r = pool rows (r + j*stride) % P);
       * negative-row gradients: the transposed batched GEMM into
         window-gradient form [P, k, d], folded back onto pool rows with k
-        rolls: pool_grad[p] = sum_j window_grads[(p - j) % P, j];
+        rolls: pool_grad[p] = sum_j window_grads[(p - j*stride) % P, j];
       * the entity-side sparse update is B label rows (rank-1 descriptor)
         plus P dense pool rows.
 
@@ -787,18 +802,20 @@ def text_entity_cost_and_grads_pooled(
         project, phrase_pre, params.transform_w, params.transform_b
     )
     proj_s = projections.astype(pos.dtype)
-    # Residue-major view: row b = q*P + r -> [Q, P, d].
-    proj_r = proj_s.reshape(Q, P, -1)
+    # Residue-major view: residue r owns rows [r*Q, (r+1)*Q) — a free
+    # contiguous reshape (no transpose, and the leading axis is the
+    # sharded batch axis under a mesh).
+    proj_r = proj_s.reshape(P, Q, -1)
 
     pos_dots = jnp.sum(proj_s * pos, axis=-1, dtype=acc_dtype)  # [B]
     # [P]-batched GEMM: [Q, d] @ [d, k] per residue.
     neg_dots = jax.lax.dot_general(
-        proj_r.transpose(1, 0, 2),  # [P, Q, d]
+        proj_r,  # [P, Q, d]
         pool_windows,  # [P, k, d]
         (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=acc_dtype,
     )  # [P, Q, k]
-    neg_dots = neg_dots.transpose(1, 0, 2).reshape(B, k)
+    neg_dots = neg_dots.reshape(B, k)
     dots_raw = jnp.concatenate([pos_dots[:, None], neg_dots], axis=1)
 
     def tail(dots_raw_):
@@ -811,7 +828,7 @@ def text_entity_cost_and_grads_pooled(
     (g_dots_raw,) = tail_vjp(jnp.ones((), cost.dtype))
     g0 = g_dots_raw[:, 0]  # [B]
     g_neg = g_dots_raw[:, 1:].astype(pos.dtype)  # [B, k]
-    g_neg_r = g_neg.reshape(Q, P, k).transpose(1, 0, 2)  # [P, Q, k]
+    g_neg_r = g_neg.reshape(P, Q, k)  # free reshape, batch axis leading
 
     # d cost / d proj: batched [Q, k] @ [k, d] against the pool windows.
     g_proj_neg = jax.lax.dot_general(
@@ -821,16 +838,16 @@ def text_entity_cost_and_grads_pooled(
     )  # [P, Q, d]
     g_projections = (
         g0.astype(acc_dtype)[:, None] * pos.astype(acc_dtype)
-        + g_proj_neg.transpose(1, 0, 2).reshape(B, -1)
+        + g_proj_neg.reshape(B, -1)
     ).astype(projections.dtype)
     g_phrase, g_w, g_b = project_vjp(g_projections)
 
     # Window-gradient form, then fold windows back onto pool rows:
     # pool_grad[p] = sum_j window_grads[(p - j*stride) % P, j].
     window_grads = jax.lax.dot_general(
-        g_neg_r.transpose(0, 2, 1),  # [P, k, Q]
-        proj_r.transpose(1, 0, 2),  # [P, Q, d]
-        (((2,), (1,)), ((0,), (0,))),
+        g_neg_r,  # [P, Q, k] — contract Q
+        proj_r,  # [P, Q, d]
+        (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=acc_dtype,
     )  # [P, k, d]
     pool_grad = window_grads[:, 0, :]

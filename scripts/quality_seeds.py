@@ -42,6 +42,9 @@ def main(argv=None):
     p.add_argument("--seeds", default="1,2,3,4,5,6,7,8")
     p.add_argument("--num_epochs", type=int, default=100)
     p.add_argument("--platform", default=None)
+    p.add_argument("--dump_runs", default=None,
+                   help="directory to write per-seed NVSM TREC runs into "
+                        "(offline fusion experiments without retraining)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level="INFO", format="%(asctime)s %(message)s")
@@ -114,6 +117,17 @@ def main(argv=None):
             nonlinearity=None,  # --linear, the NVSM query preset
         )
         run = engine.rank(queries, top_k=1000)
+        if args.dump_runs:
+            from cunvsm_tpu.io.trec import write_run
+
+            os.makedirs(args.dump_runs, exist_ok=True)
+            write_run(
+                run,
+                os.path.join(
+                    args.dump_runs, f"nvsm_{args.config}_s{seed}.run"
+                ),
+                "nvsm",
+            )
         m = evaluate_run(run, qrels, measures=("map",))["map"]
         line = {
             "config": args.config, "seed": seed,

@@ -494,6 +494,16 @@ def test_sharded_train_step_comm_volume_pooled():
             )
     # (c) The full entity table never exists on any device.
     assert f"f32[{s['D']},{s['d_e']}]" not in hlo
+    # (c2) The projections are never all-gathered (round 4: the
+    #     contiguous-block residue assignment makes the residue-major
+    #     view a plain reshape of the sharded batch axis, so the pool
+    #     GEMMs shard over residues; before, GSPMD replicated the full
+    #     [B, d_e] projections — 104.9 MB/step at canonical shapes).
+    for c in cs:
+        for dt, dims, _ in c.parts:
+            assert tuple(dims) != (s["B"], s["d_e"]), (
+                c.op, audit.format_table(hlo)
+            )
     # (d) Entity traffic is bounded by the (B + P) gathered/updated rows
     #     (plus the P*k pool-window gradients), not by D and not by B*k
     #     replicated: the largest single collective is at most the
