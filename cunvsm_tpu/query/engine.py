@@ -284,10 +284,13 @@ class TermBruteforcer:
     given document-space vector (py/nvsm/base.py:106-162).
 
     Cardinality 1 covers the FULL vocabulary, exactly like the reference's
-    brute-force over every 1-gram: the whole word table is projected
-    through the transform in one [V, d_w] device matmul and queries answer
-    with an on-device [N, d_e] cosine matmul + ``lax.top_k`` (~1 ms for
-    V=65k, d=300/256 on one v5e chip).  Cardinality >= 2 explodes
+    brute-force over every 1-gram (py/nvsm/base.py:106-162): the whole
+    word table is projected through the transform in one [V, d_w] device
+    matmul and queries answer with an on-device [N, d_e] cosine matmul +
+    ``lax.top_k``.  Measured at V=65536, d=300/256: 8.9 s one-time build,
+    71.7 ms per lookup through the remote-TPU tunnel — latency-bound on
+    dispatch + result pull; the on-chip compute (a [65k,256]x[256] dot +
+    top-k) is sub-ms (PERFORMANCE.md).  Cardinality >= 2 explodes
     combinatorially, so those combinations draw from a term universe
     capped at ``max_terms`` by collection frequency.
     """
