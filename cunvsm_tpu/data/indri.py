@@ -218,6 +218,19 @@ def iter_keyfile_entries(path: str) -> Iterator[Tuple[bytes, bytes]]:
                 if raw is not None:
                     break
         if raw is None:
+            if not any(blk[max(start - 2, 6):]):
+                # The claimed entry area (block tail) is all zeros: this is
+                # a control/descriptor block that carries its payload at
+                # the block head (the Brown index's forwardLookup0 has one
+                # with nkeys=1, chars=8), not an entry list.  Zero bytes
+                # cannot encode entries (every value length byte must be
+                # >= 1), so nothing is lost by skipping it.
+                logging.debug(
+                    "Keyfile %s: level-0 block at offset %d has an empty "
+                    "entry area (nkeys=%d, chars=%d) — control block, "
+                    "skipped.", path, base, nkeys, chars,
+                )
+                continue
             # A leaf-level block we cannot parse is data loss, not noise:
             # every one of its nkeys docnos will be missing from lookups
             # (a later hard KeyError in docids_from_docnos at best).

@@ -679,6 +679,11 @@ def rolled_pool_negative_ids(
     scores k distinct iid-uniform pool slots."""
     P = pool_ids.shape[0]
     q = batch_size // P
+    if q == 0 or batch_size % P:
+        raise ValueError(
+            f"batch size {batch_size} must be a positive multiple of the "
+            f"pool size {P}"
+        )
     r = jnp.arange(batch_size, dtype=jnp.int32) // q
     slots = (
         r[:, None]

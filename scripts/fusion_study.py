@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Fusion study over dumped NVSM runs (offline, CPU): the reference's
+headline NVSM + QLM-JM + PRF cell (TUTORIAL.md:98, 0.4345 unsupervised
+alpha=0.5 standardize) and its supervised sibling (the reference's own
+combine_runs CV protocol: 20 folds, alpha grid step 0.01 — supported by
+the reference's tool, called 'a bit excessive' for the tutorial).
+
+Also sweeps PRF hyperparameters of OUR QLM-JM-PRF to demonstrate how the
+fixed-alpha 0.5 mix responds to the lexical run's standalone strength —
+the attribution analysis for the JM cell gap.  The sweep is analysis, not
+tuning: the shipped default stays fb_docs=10/fb_terms=10/w=0.5.
+
+Usage:
+  python scripts/fusion_study.py --runs_dir /tmp/nvsm_runs \
+      [--out results/fusion_study_r4.json]
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_dir",
+                   default="/root/reference/test_data/cranfield_collection")
+    p.add_argument("--runs_dir", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--sweep", action="store_true",
+                   help="include the PRF-variant attribution sweep")
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from cunvsm_tpu.config import DataConfig
+    from cunvsm_tpu.data.corpus import build_corpus
+    from cunvsm_tpu.data.text import iter_trectext, lemur_stopwords, tokenize
+    from cunvsm_tpu.io.trec import read_qrels, read_run, read_topics
+    from cunvsm_tpu.query.fusion import fuse_cross_validated, fuse_fixed_alpha
+    from cunvsm_tpu.query.metrics import evaluate_run
+    from cunvsm_tpu.query.qlm import build_qlm_index, qlm_rank
+
+    stopwords = lemur_stopwords()
+    docs = list(iter_trectext(
+        os.path.join(args.data_dir, "cranfield.trectext")))
+    corpus = build_corpus(
+        docs,
+        DataConfig(max_vocabulary_size=65536, min_document_frequency=0,
+                   max_document_frequency=0.5),
+        10, stopwords=stopwords,
+    )
+    topics = read_topics(os.path.join(args.data_dir, "cranfield.topics"))
+    queries = {q: tokenize(t, stopwords) for q, t in topics.items()}
+    qrels = read_qrels(os.path.join(args.data_dir, "cranfield.qrel"))
+    qlm_index = build_qlm_index(corpus)
+
+    def m(run):
+        return evaluate_run(run, qrels, measures=("map",))["map"]
+
+    nvsm_runs = {}
+    for path in sorted(glob.glob(os.path.join(args.runs_dir, "*.run"))):
+        nvsm_runs[os.path.basename(path)] = read_run(path)
+    if not nvsm_runs:
+        print("no runs found in", args.runs_dir, file=sys.stderr)
+        return 1
+
+    results = {"num_nvsm_runs": len(nvsm_runs)}
+
+    # Shipped-default QLM runs.
+    jm_prf = qlm_rank(qlm_index, queries, smoothing="jm", prf=True)
+    results["qlm_jm_prf_map"] = round(m(jm_prf), 4)
+
+    unsup, sup = [], []
+    for name, run in nvsm_runs.items():
+        unsup.append(m(fuse_fixed_alpha(run, jm_prf, 0.5)))
+        sup.append(m(fuse_cross_validated(
+            run, jm_prf, qrels, num_folds=20, alpha_stepsize=0.01
+        )))
+    results["unsupervised_alpha0.5"] = {
+        "mean": round(float(np.mean(unsup)), 4),
+        "std": round(float(np.std(unsup, ddof=1)), 4),
+        "min": round(float(np.min(unsup)), 4),
+        "max": round(float(np.max(unsup)), 4),
+        "seeds_ge_0.4345": int(np.sum(np.asarray(unsup) >= 0.4345)),
+    }
+    results["supervised_cv20_step0.01"] = {
+        "mean": round(float(np.mean(sup)), 4),
+        "std": round(float(np.std(sup, ddof=1)), 4),
+        "min": round(float(np.min(sup)), 4),
+        "max": round(float(np.max(sup)), 4),
+        "seeds_ge_0.4345": int(np.sum(np.asarray(sup) >= 0.4345)),
+    }
+
+    if args.sweep:
+        # Attribution: vary the lexical run's strength, hold NVSM fixed.
+        sweep = []
+        for fb_docs, fb_terms, ow in [
+            (5, 5, 0.5), (10, 5, 0.5), (10, 10, 0.5), (10, 20, 0.5),
+            (20, 10, 0.5), (10, 10, 0.3), (10, 10, 0.7), (5, 10, 0.6),
+        ]:
+            qrun = qlm_rank(
+                qlm_index, queries, smoothing="jm", prf=True,
+                fb_docs=fb_docs, fb_terms=fb_terms, orig_weight=ow,
+            )
+            fused = [
+                m(fuse_fixed_alpha(r, qrun, 0.5))
+                for r in nvsm_runs.values()
+            ]
+            sweep.append({
+                "fb_docs": fb_docs, "fb_terms": fb_terms,
+                "orig_weight": ow,
+                "qlm_standalone": round(m(qrun), 4),
+                "fused_mean": round(float(np.mean(fused)), 4),
+            })
+        results["prf_attribution_sweep"] = sweep
+
+    print(json.dumps(results, indent=2, sort_keys=True))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2, sort_keys=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -57,6 +57,58 @@ def run(args):
 
     rng = np.random.RandomState(0)
     B, W = cfg.batch_size, cfg.window_size
+
+    if args.device_sampling:
+        # The FULL E2E program: K steps each sampling their own batch from
+        # a device-resident synthetic corpus (the path
+        # scripts/e2e_throughput.py trains with), so the trace shows the
+        # batch-construction ops responsible for the E2E-vs-step gap.
+        from cunvsm_tpu.data.corpus import Corpus
+        from cunvsm_tpu.data.device_sampler import (
+            make_device_sampled_multistep,
+            make_epoch_permuter,
+            prepare_device_corpus,
+        )
+        from cunvsm_tpu.data.vocab import Vocabulary
+
+        doc_len = 120
+        tokens = rng.randint(
+            0, NUM_WORDS, NUM_ENTITIES * doc_len
+        ).astype(np.int32)
+        counts = np.bincount(tokens, minlength=NUM_WORDS).astype(np.int64)
+        vocab = Vocabulary(
+            terms=[f"t{i}" for i in range(NUM_WORDS)],
+            term_to_id={f"t{i}": i for i in range(NUM_WORDS)},
+            term_freq=counts, total_terms=int(counts.sum()),
+            include_oov=False,
+            index_term_ids=np.arange(NUM_WORDS, dtype=np.int64),
+        )
+        corpus = Corpus(
+            vocab=vocab, tokens=tokens,
+            doc_offsets=np.arange(NUM_ENTITIES + 1, dtype=np.int64) * doc_len,
+            index_lengths=np.full(NUM_ENTITIES, doc_len, dtype=np.int64),
+            docnos=[f"d{i}" for i in range(NUM_ENTITIES)],
+            window_size=W,
+        )
+        dc = prepare_device_corpus(corpus)
+        permuter, _ = make_epoch_permuter(dc)
+        doc_perm = permuter(jax.random.PRNGKey(3))
+        runf = make_device_sampled_multistep(
+            desc, cfg, dc, args.steps, num_entities=NUM_ENTITIES
+        )
+        params, opt_state, costs = runf(
+            params, opt_state, jax.random.PRNGKey(0), doc_perm, 0
+        )
+        np.asarray(costs)
+        os.makedirs(args.outdir, exist_ok=True)
+        with jax.profiler.trace(args.outdir):
+            params, opt_state, costs = runf(
+                params, opt_state, jax.random.PRNGKey(1), doc_perm,
+                args.steps * cfg.batch_size,
+            )
+            np.asarray(costs)
+        return args.steps
+
     batch = jax.device_put(TextEntityBatch(
         features=jnp.asarray(rng.randint(0, NUM_WORDS, (B, W)), jnp.int32),
         feature_weights=jnp.ones((B, W), jnp.float32),
@@ -127,6 +179,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--pool", type=int, default=2048)
     p.add_argument("--pool_stride", type=int, default=1)
+    p.add_argument("--device_sampling", action="store_true",
+                   help="profile the full E2E program (on-device batch "
+                        "sampling inside the scanned step)")
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--outdir", default="/tmp/trace_step")

@@ -200,7 +200,9 @@ def test_training_smoke_on_brown():
     )
     opt = Optimizer(cfg)
     step = make_train_step(desc, cfg)
-    jb = TextEntityBatch(*[jnp.asarray(x) for x in batch])
+    jb = TextEntityBatch(
+        *[None if x is None else jnp.asarray(x) for x in batch]
+    )
     params, _, cost = step(params, opt.init(params), jb, jax.random.PRNGKey(1))
     assert np.isfinite(float(cost))
 

@@ -224,7 +224,7 @@ class TestKeyfileRobustness:
         # plausible but no offset (0, +-1, +-2) parses.
         base = 2 * blk_size
         nkeys, chars = struct_mod.unpack(">HH", data[base : base + 4])
-        data[base + 8 : base + blk_size] = bytes(blk_size - 8)
+        data[base + 8 : base + blk_size] = b"\xff" * (blk_size - 8)
         open(path, "wb").write(data)
         with caplog.at_level(logging.WARNING):
             got = list(iter_keyfile_entries(path))
@@ -232,6 +232,30 @@ class TestKeyfileRobustness:
         # Exactly that block's entries are lost; the rest still parse.
         assert len(got) == 400 - nkeys
         assert set(got) < set(clean)
+
+    def test_zero_entry_area_control_block_is_silent(self, tmp_path, caplog):
+        # A level-0 block whose claimed entry area is all zeros is a
+        # control/descriptor block (the Brown index's forwardLookup0 has
+        # one: nkeys=1, chars=8, payload at the block head) — zero bytes
+        # cannot encode entries, so nothing is lost and no warning fires.
+        import logging
+
+        from cunvsm_tpu.data.indri import iter_keyfile_entries
+
+        path, data, blk_size, struct_mod = self._write(tmp_path)
+        clean = list(iter_keyfile_entries(path))
+        base = 2 * blk_size
+        nkeys, _ = struct_mod.unpack(">HH", data[base : base + 4])
+        data[base + 4 : base + blk_size] = bytes(blk_size - 4)
+        data[base : base + 4] = struct_mod.pack(">HH", 1, 8)
+        data[base + 7] = 1  # nonzero head payload, like the Brown block
+        open(path, "wb").write(data)
+        with caplog.at_level(logging.WARNING):
+            got = list(iter_keyfile_entries(path))
+        assert not any(
+            "unparseable leaf block" in r.message for r in caplog.records
+        )
+        assert len(got) == 400 - nkeys
 
     def test_truncated_file_warns(self, tmp_path, caplog):
         import logging
