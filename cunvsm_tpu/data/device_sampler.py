@@ -46,9 +46,28 @@ class DeviceCorpus(NamedTuple):
     doc_offsets: jax.Array  # [num_docs] int64->int32 start offsets
     doc_lengths: jax.Array  # [num_docs] int32 in-vocab lengths
     eligible: jax.Array  # [num_eligible] int32 doc ids with len >= window
-    inv_doc_weight: jax.Array  # [num_docs] float32 instance weights
+    # None under UNIFORM weighting (all ones — skipping the gather saves a
+    # [B]-row per-row-rate-bound take per step).
+    inv_doc_weight: Optional[jax.Array]  # [num_docs] float32 or None
     term_weights: Optional[jax.Array]  # [vocab] float32 or None
     window_size: int
+    # (offset, length) packed per doc: ONE [B]-row gather per batch
+    # instead of two (the gather emitter is per-row-rate-bound, so the
+    # 2-wide row costs the same as a 1-wide one).
+    doc_meta: Optional[jax.Array] = None  # [num_docs, 2] int32
+    # Overlapped wide-row view of ``tokens``: row r = tokens[rG : rG+2G]
+    # (G = WIDE_ROW_STRIDE), so any W <= G+1 window lives inside ONE row.
+    # The gather emitter on this toolchain is per-ROW-rate-bound
+    # (~14-20 ns/row regardless of row width), so fetching a [B, W]
+    # window batch as B wide rows + an in-register shift costs ~W times
+    # less than the B*W single-token gathers it replaces, for 2x token
+    # memory.  None when window_size > G+1.
+    tokens_wide: Optional[jax.Array] = None  # [ceil(N/G)+1, 2G] int32
+
+
+# Wide-row stride (G).  2G = 32 int32 per row; windows up to G+1 = 17
+# tokens (the canonical configuration uses 10) resolve inside one row.
+WIDE_ROW_STRIDE = 16
 
 
 def prepare_device_corpus(
@@ -61,22 +80,41 @@ def prepare_device_corpus(
     eligible = np.flatnonzero(lengths >= w).astype(np.int32)
     if weighting == Weighting.INV_DOC_FREQUENCY:
         avg = float(lengths[eligible].mean()) if len(eligible) else 0.0
-        inv = (avg / np.maximum(lengths, 1)).astype(np.float32)
+        inv = jnp.asarray((avg / np.maximum(lengths, 1)).astype(np.float32))
     else:
-        inv = np.ones(len(lengths), np.float32)
+        inv = None  # uniform: weights are all ones, no per-batch gather
     term_weights = None
     if feature_weighting == FeatureWeighting.SELF_INFORMATION:
         term_weights = jnp.asarray(
             corpus.vocab.self_information().astype(np.float32)
         )
+    tokens_wide = None
+    if w <= WIDE_ROW_STRIDE + 1:
+        g = WIDE_ROW_STRIDE
+        n = len(corpus.tokens)
+        num_rows = -(-n // g) + 1
+        padded = np.zeros(num_rows * g + g, dtype=np.int32)
+        padded[:n] = corpus.tokens
+        wide = np.lib.stride_tricks.as_strided(
+            padded,
+            shape=(num_rows, 2 * g),
+            strides=(g * padded.itemsize, padded.itemsize),
+        )
+        tokens_wide = jnp.asarray(np.ascontiguousarray(wide))
     return DeviceCorpus(
         tokens=jnp.asarray(corpus.tokens, jnp.int32),
         doc_offsets=jnp.asarray(corpus.doc_offsets[:-1], jnp.int32),
         doc_lengths=jnp.asarray(lengths),
         eligible=jnp.asarray(eligible),
-        inv_doc_weight=jnp.asarray(inv),
+        inv_doc_weight=inv,
         term_weights=term_weights,
         window_size=w,
+        tokens_wide=tokens_wide,
+        doc_meta=jnp.asarray(
+            np.stack(
+                [corpus.doc_offsets[:-1].astype(np.int32), lengths], axis=1
+            )
+        ),
     )
 
 
@@ -119,31 +157,57 @@ def sample_batch(
             k_doc, (batch_size,), 0, dc.eligible.shape[0]
         )
         docs = jnp.take(dc.eligible, eligible_idx)
-    lengths = jnp.take(dc.doc_lengths, docs)
+    if dc.doc_meta is not None:
+        meta = jnp.take(dc.doc_meta, docs, axis=0)  # [B, 2] (offset, len)
+        offsets, lengths = meta[:, 0], meta[:, 1]
+    else:
+        offsets = jnp.take(dc.doc_offsets, docs)
+        lengths = jnp.take(dc.doc_lengths, docs)
     max_pos = lengths - dc.window_size + 1
     pos = jnp.floor(
         jax.random.uniform(k_pos, (batch_size,)) * max_pos.astype(jnp.float32)
     ).astype(jnp.int32)
-    base = jnp.take(dc.doc_offsets, docs) + pos
-    # The window fetch runs as W independent [B]-row 1-D gathers: this
-    # toolchain's gather emitter handles a [B,W] 2-D-index take poorly
-    # (8.6 vs 1.4 ms microbenched at the canonical 51200x10 batch; the
-    # whole-program A/B is a smaller but consistent 16.75 -> 16.46
-    # s/epoch — PERFORMANCE.md "End-to-end training", the usual
-    # prefix-vs-whole-program divergence on this toolchain).
-    features = jnp.stack(
-        [jnp.take(dc.tokens, base + j) for j in range(dc.window_size)],
-        axis=1,
-    )
+    base = offsets + pos
+    if dc.tokens_wide is not None:
+        # Wide-row fetch: the gather emitter is per-ROW-rate-bound, so
+        # fetch each instance's window as ONE row of the overlapped
+        # [.., 2G] token view (B rows instead of B*W), then align the
+        # window to the row head with log2(G) constant-shift selects —
+        # pure elementwise ops that fuse, no per-element gather.
+        g = WIDE_ROW_STRIDE
+        row = base // g
+        off = base - row * g
+        rows = jnp.take(dc.tokens_wide, row, axis=0)  # [B, 2G]
+        bit = g // 2
+        while bit:
+            take_hi = (off & bit).astype(bool)[:, None]
+            rows = jnp.where(
+                take_hi, rows[:, bit:], rows[:, : rows.shape[1] - bit]
+            )
+            bit //= 2
+        features = rows[:, : dc.window_size]
+    else:
+        # Fallback for windows wider than one row: W independent [B]-row
+        # 1-D gathers (this toolchain's gather emitter handles a [B,W]
+        # 2-D-index take poorly — 8.6 vs 1.4 ms microbenched at the
+        # canonical 51200x10 batch).
+        features = jnp.stack(
+            [jnp.take(dc.tokens, base + j) for j in range(dc.window_size)],
+            axis=1,
+        )
     if dc.term_weights is not None:
         feature_weights = jnp.take(dc.term_weights, features)
     else:
         feature_weights = jnp.ones_like(features, jnp.float32)
+    if dc.inv_doc_weight is not None:
+        weights = jnp.take(dc.inv_doc_weight, docs)
+    else:
+        weights = jnp.ones((batch_size,), jnp.float32)
     return TextEntityBatch(
         features=features,
         feature_weights=feature_weights,
         labels=docs,
-        weights=jnp.take(dc.inv_doc_weight, docs),
+        weights=weights,
     )
 
 

@@ -54,6 +54,65 @@ class TestSampleBatch:
         # over the kept docs, all eligible.
         assert set(np.unique(labels)) <= {0, 1}
 
+    def test_wide_row_fetch_matches_column_gathers(self):
+        # The per-row-rate-optimized wide-row window fetch must produce
+        # byte-identical features to the W-column-gather fallback for
+        # every window position, including doc boundaries and the corpus
+        # tail.
+        rng = np.random.RandomState(7)
+        lens = rng.randint(6, 40, 50)
+        docs = [
+            (f"d{i}", " ".join(f"w{rng.randint(0, 200)}" for _ in range(n)))
+            for i, n in enumerate(lens)
+        ]
+        c = build_corpus(
+            docs,
+            DataConfig(max_vocabulary_size=0, min_document_frequency=0,
+                       max_document_frequency=0),
+            window_size=6,
+        )
+        dc = prepare_device_corpus(c)
+        assert dc.tokens_wide is not None
+        dc_fallback = dc._replace(tokens_wide=None)
+        for seed in range(4):
+            k = jax.random.PRNGKey(seed)
+            wide = sample_batch(dc, k, 256)
+            cols = sample_batch(dc_fallback, k, 256)
+            np.testing.assert_array_equal(
+                np.asarray(wide.features), np.asarray(cols.features)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(wide.labels), np.asarray(cols.labels)
+            )
+
+    def test_wide_rows_cover_every_offset(self):
+        # Deterministic sweep: every (row offset mod G) x window position
+        # combination resolves to the right tokens.
+        from cunvsm_tpu.data.device_sampler import WIDE_ROW_STRIDE
+
+        n_tokens = 5 * WIDE_ROW_STRIDE + 3
+        toks = " ".join(f"w{i}" for i in range(n_tokens))
+        c = build_corpus(
+            [("d0", toks)],
+            DataConfig(max_vocabulary_size=0, min_document_frequency=0,
+                       max_document_frequency=0),
+            window_size=4,
+        )
+        dc = prepare_device_corpus(c)
+        max_pos = n_tokens - 4 + 1
+        docs = jnp.zeros((max_pos,), jnp.int32)
+        # Drive positions directly through a patched uniform draw: feed
+        # each start position once via the docs override + a key sweep is
+        # stochastic, so instead index tokens_wide by hand.
+        g = WIDE_ROW_STRIDE
+        wide = np.asarray(dc.tokens_wide)
+        flat = np.asarray(dc.tokens)
+        for p in range(max_pos):
+            row, off = divmod(p, g)
+            np.testing.assert_array_equal(
+                wide[row, off : off + 4], flat[p : p + 4]
+            )
+
     def test_inv_doc_frequency_weights(self):
         c = corpus()
         dc = prepare_device_corpus(c, weighting=Weighting.INV_DOC_FREQUENCY)
