@@ -26,6 +26,80 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def cv_map_fast(run_a, run_b, qrels, num_folds=20, alpha_stepsize=0.01,
+                seed=0):
+    """MAP of query/fusion.fuse_cross_validated, computed exactly but
+    factorized: per-query AP at each alpha is fold-independent, so build
+    the [num_queries, num_alphas] AP matrix once and do the per-fold
+    best-alpha search and test scoring as row/column means.  Same fold
+    assignment (RandomState(seed) shuffle + array_split), same
+    standardize normalizer, same mean-of-present-scores combination."""
+    from cunvsm_tpu.query.metrics import average_precision
+
+    alphas = np.arange(0.0, 1.0, alpha_stepsize)
+    rng = np.random.RandomState(seed)
+    query_ids = list(qrels.keys())
+    rng.shuffle(query_ids)
+    num_folds = min(num_folds, len(query_ids))
+    folds = np.array_split(np.arange(len(query_ids)), num_folds)
+
+    # ap[i, j] = AP of query_ids[i] fused at alphas[j].
+    ap = np.zeros((len(query_ids), len(alphas)))
+    valid = np.zeros(len(query_ids), bool)
+    for i, qid in enumerate(query_ids):
+        ra, rb = dict(run_a.get(qid, [])), dict(run_b.get(qid, []))
+        docs = list(dict.fromkeys(list(ra) + list(rb)))
+        if not docs:
+            continue
+
+        def norm(r):
+            if not r:
+                return {}
+            v = np.asarray(list(r.values()))
+            mu, sd = v.mean(), v.std()
+            return {d: ((s - mu) / sd if sd else 0.0) for d, s in r.items()}
+
+        na, nb = norm(ra), norm(rb)
+        a = np.array([na.get(d, np.nan) for d in docs])
+        b = np.array([nb.get(d, np.nan) for d in docs])
+        in_a, in_b = ~np.isnan(a), ~np.isnan(b)
+        denom = in_a.astype(float) + in_b.astype(float)
+        a0, b0 = np.where(in_a, a, 0.0), np.where(in_b, b, 0.0)
+        rels = qrels[qid]
+        rel = np.array([rels.get(d, 0) > 0 for d in docs])
+        num_rel = sum(1 for r in rels.values() if r > 0)
+        if num_rel == 0:
+            continue
+        valid[i] = True
+        # scores[j, d] for every alpha at once; stable argsort matches
+        # the library's stable sort on -score.
+        scores = (
+            np.outer(alphas, a0) + np.outer(1.0 - alphas, b0)
+        ) / denom[None, :]
+        order = np.argsort(-scores, axis=1, kind="stable")
+        rel_sorted = rel[order]  # [num_alphas, num_docs]
+        hits = np.cumsum(rel_sorted, axis=1)
+        ranks = np.arange(1, len(docs) + 1)[None, :]
+        ap[i] = np.sum(
+            np.where(rel_sorted, hits / ranks, 0.0), axis=1
+        ) / num_rel
+
+    test_aps = []
+    for test_idx in folds:
+        test_mask = np.zeros(len(query_ids), bool)
+        test_mask[test_idx] = True
+        train = valid & ~test_mask
+        if not train.any():
+            best_j = 0
+        else:
+            means = ap[train].mean(axis=0)
+            # Library tie-break: max() over (mean_ap, alpha) tuples picks
+            # the LARGEST alpha among ties.
+            best_j = int(np.flatnonzero(means == means.max())[-1])
+        test_aps.extend(ap[test_mask & valid, best_j].tolist())
+    return float(np.mean(test_aps))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data_dir",
@@ -44,7 +118,7 @@ def main(argv=None):
     from cunvsm_tpu.data.corpus import build_corpus
     from cunvsm_tpu.data.text import iter_trectext, lemur_stopwords, tokenize
     from cunvsm_tpu.io.trec import read_qrels, read_run, read_topics
-    from cunvsm_tpu.query.fusion import fuse_cross_validated, fuse_fixed_alpha
+    from cunvsm_tpu.query.fusion import fuse_fixed_alpha
     from cunvsm_tpu.query.metrics import evaluate_run
     from cunvsm_tpu.query.qlm import build_qlm_index, qlm_rank
 
@@ -81,9 +155,9 @@ def main(argv=None):
     unsup, sup = [], []
     for name, run in nvsm_runs.items():
         unsup.append(m(fuse_fixed_alpha(run, jm_prf, 0.5)))
-        sup.append(m(fuse_cross_validated(
+        sup.append(cv_map_fast(
             run, jm_prf, qrels, num_folds=20, alpha_stepsize=0.01
-        )))
+        ))
     results["unsupervised_alpha0.5"] = {
         "mean": round(float(np.mean(unsup)), 4),
         "std": round(float(np.std(unsup, ddof=1)), 4),

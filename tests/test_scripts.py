@@ -165,3 +165,45 @@ def test_rank_adhoc_protocol_on_multi_index_indri_repo(
     results = json.load(open(workdir / "results.json"))
     assert results["qlm_jm_prf_test_map"] > 0.95
     assert results["nvsm_test_map"] > 0.3
+
+
+def test_fusion_study_fast_cv_matches_library():
+    # cv_map_fast factorizes the fold/alpha search; it must equal
+    # fuse_cross_validated + evaluate_run exactly on the same protocol.
+    import numpy as np
+
+    from cunvsm_tpu.query.fusion import fuse_cross_validated
+    from cunvsm_tpu.query.metrics import evaluate_run
+    from fusion_study import cv_map_fast
+
+    rng = np.random.RandomState(3)
+    docs = [f"d{i}" for i in range(40)]
+    qrels = {
+        f"q{q}": {d: 1 for d in rng.choice(docs, 6, replace=False)}
+        for q in range(15)
+    }
+
+    def mkrun(seed, quality):
+        r = np.random.RandomState(seed)
+        run = {}
+        for q in range(15):
+            scores = r.rand(len(docs))
+            for j, d in enumerate(docs):
+                if d in qrels[f"q{q}"]:
+                    scores[j] += quality * r.rand()
+            order = np.argsort(-scores)
+            run[f"q{q}"] = [(docs[j], float(scores[j])) for j in order]
+        return run
+
+    run_a, run_b = mkrun(1, 1.2), mkrun(2, 0.5)
+    for folds, step in [(5, 0.1), (4, 0.25)]:
+        lib = evaluate_run(
+            fuse_cross_validated(
+                run_a, run_b, qrels, num_folds=folds, alpha_stepsize=step
+            ),
+            qrels, measures=("map",),
+        )["map"]
+        fast = cv_map_fast(
+            run_a, run_b, qrels, num_folds=folds, alpha_stepsize=step
+        )
+        assert abs(lib - fast) < 1e-9, (lib, fast)
