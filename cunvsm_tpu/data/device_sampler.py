@@ -93,7 +93,10 @@ def prepare_device_corpus(
         g = WIDE_ROW_STRIDE
         n = len(corpus.tokens)
         num_rows = -(-n // g) + 1
-        padded = np.zeros(num_rows * g + g, dtype=np.int32)
+        # Word ids < 65536 fit uint16: half the gathered bytes per row
+        # (the canonical vocabulary is capped at exactly 65536).
+        dt = np.uint16 if corpus.vocab.size <= 65536 else np.int32
+        padded = np.zeros(num_rows * g + g, dtype=dt)
         padded[:n] = corpus.tokens
         wide = np.lib.stride_tricks.as_strided(
             padded,
@@ -164,9 +167,16 @@ def sample_batch(
         offsets = jnp.take(dc.doc_offsets, docs)
         lengths = jnp.take(dc.doc_lengths, docs)
     max_pos = lengths - dc.window_size + 1
-    pos = jnp.floor(
-        jax.random.uniform(k_pos, (batch_size,)) * max_pos.astype(jnp.float32)
-    ).astype(jnp.int32)
+    # floor(u * n) with the maximal f32 u < 1 can round UP to exactly n
+    # (the product lands half an ulp below n and ties-to-even) — clamp,
+    # or ~2^-24 of draws sample a window one token past the doc end.
+    pos = jnp.minimum(
+        jnp.floor(
+            jax.random.uniform(k_pos, (batch_size,))
+            * max_pos.astype(jnp.float32)
+        ).astype(jnp.int32),
+        max_pos - 1,
+    )
     base = offsets + pos
     if dc.tokens_wide is not None:
         # Wide-row fetch: the gather emitter is per-ROW-rate-bound, so
@@ -185,7 +195,7 @@ def sample_batch(
                 take_hi, rows[:, bit:], rows[:, : rows.shape[1] - bit]
             )
             bit //= 2
-        features = rows[:, : dc.window_size]
+        features = rows[:, : dc.window_size].astype(jnp.int32)
     else:
         # Fallback for windows wider than one row: W independent [B]-row
         # 1-D gathers (this toolchain's gather emitter handles a [B,W]

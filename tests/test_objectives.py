@@ -696,3 +696,14 @@ class TestNegativeSamplingResolution:
             resolve_negative_sampling(
                 self._cfg(negative_pool_size=48), desc, 1024
             )
+
+
+def test_rolled_pool_rejects_non_multiple_batch():
+    import jax.numpy as jnp
+    import cunvsm_tpu.models.objectives as obj
+
+    pool_ids = jnp.arange(8, dtype=jnp.int32)
+    with pytest.raises(ValueError, match="positive multiple"):
+        obj.rolled_pool_negative_ids(pool_ids, 4, 2)  # B < P
+    with pytest.raises(ValueError, match="positive multiple"):
+        obj.rolled_pool_negative_ids(pool_ids, 12, 2)  # B % P != 0
