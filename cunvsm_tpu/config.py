@@ -265,6 +265,13 @@ class TrainConfig:
             return "bfloat16" if self.stream_dtype == "bfloat16" else None
         if self.cross_chip_reduce_dtype == "float32":
             return None
+        if self.cross_chip_reduce_dtype != "bfloat16":
+            # Validate here, not deep inside jit tracing after the
+            # 30-400 s remote compile has started.
+            raise ValueError(
+                "cross_chip_reduce_dtype must be 'auto', 'float32', or "
+                f"'bfloat16' (got {self.cross_chip_reduce_dtype!r})"
+            )
         return self.cross_chip_reduce_dtype
 
     def resolved_learning_rate(self) -> float:

@@ -279,12 +279,29 @@ class QueryStemmer:
         self,
         name: Optional[str],
         vocab_terms: Optional[Iterable[str]] = None,
+        on_unknown: str = "raise",
     ):
+        """``on_unknown``: 'raise' for explicit user-requested stemmers;
+        'warn' for names read from a manifest/sidecar, where an
+        unimplemented stemmer (e.g. Indri's 'arabic') must degrade to
+        identity — matching the pre-stemming behavior — rather than
+        crash the whole protocol at startup."""
         self.name = (name or "").strip().lower() or None
         if self.name is not None and self.name not in KNOWN_STEMMERS:
-            raise ValueError(
-                f"unknown stemmer {name!r}; known: {KNOWN_STEMMERS}"
-            )
+            if on_unknown == "warn":
+                import logging
+
+                logging.warning(
+                    "Stemmer %r is not implemented (known: %s); query "
+                    "terms will NOT be stemmed — inflected query terms "
+                    "may miss the stemmed vocabulary.",
+                    name, ", ".join(KNOWN_STEMMERS),
+                )
+                self.name = None
+            else:
+                raise ValueError(
+                    f"unknown stemmer {name!r}; known: {KNOWN_STEMMERS}"
+                )
         self._vocab = frozenset(vocab_terms) if vocab_terms else frozenset()
         if self.name == "krovetz" and not self._vocab:
             raise ValueError(
@@ -331,4 +348,6 @@ def load_query_stemmer(
     if os.path.exists(path):
         with open(path) as f:
             name = f.read().strip() or None
-    return QueryStemmer(name, vocab_terms if name else None)
+    return QueryStemmer(
+        name, vocab_terms if name else None, on_unknown="warn"
+    )

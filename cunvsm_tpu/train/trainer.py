@@ -282,6 +282,8 @@ def train_model(
         ckpt.save_corpus_sidecars(corpus, output_prefix)
 
     device_run = None
+    device_run_rem = None
+    rem_steps = 0
     if on_device_sampling:
         # Explicit errors (not asserts): these must also fire under -O.
         if kind != ObjectiveKind.TEXT_ENTITY:
@@ -315,24 +317,26 @@ def train_model(
         epoch_permuter, _ptrs_per_epoch = make_epoch_permuter(dc)
         # Exact epoch semantics: a K that does not divide the epoch's step
         # count would silently drop the remainder steps every epoch (the
-        # reference trains every instance each epoch).  Auto-adjust K down
-        # to the largest divisor so nothing is dropped, and say so.
-        k_req = max(steps_per_call, 1)
+        # reference trains every instance each epoch).  Train the
+        # remainder in ONE extra compiled call of (steps % K) steps per
+        # epoch — one additional one-time compile, amortized over the
+        # run — instead of shrinking K (the largest-divisor fallback
+        # collapses to K=1 on prime step counts, making every epoch
+        # dispatch-bound through a remote tunnel).
         steps_epoch = max(
             min(source.batches_per_epoch(),
                 _ptrs_per_epoch // cfg.batch_size),
             1,
         )
-        if k_req > 1 and steps_epoch % k_req:
-            steps_per_call = max(
-                d for d in range(1, k_req + 1) if steps_epoch % d == 0
-            )
+        steps_per_call = min(max(steps_per_call, 1), steps_epoch)
+        rem_steps = steps_epoch % steps_per_call
+        if rem_steps:
             logger.warning(
-                "steps_per_call=%d does not divide the epoch's %d steps "
-                "(would drop %d steps/epoch); auto-adjusted to %d.  Pick a "
-                "divisor of %d to keep the requested call size.",
-                k_req, steps_epoch, steps_epoch % k_req, steps_per_call,
-                steps_epoch,
+                "steps_per_call=%d does not divide the epoch's %d steps; "
+                "the %d remainder steps run as one extra compiled call "
+                "per epoch (one additional one-time compile).  Pick a "
+                "divisor of %d to avoid it.",
+                steps_per_call, steps_epoch, rem_steps, steps_epoch,
             )
         if mesh is not None:
             from cunvsm_tpu.data.device_sampler import (
@@ -341,15 +345,28 @@ def train_model(
 
             device_run, params, opt_state = (
                 make_device_sampled_sharded_multistep(
-                    desc, cfg, dc, max(steps_per_call, 1), mesh,
+                    desc, cfg, dc, steps_per_call, mesh,
                     params, opt_state, num_entities=num_real_entities,
                     epoch_exact=True,
                 )
             )
+            if rem_steps:
+                device_run_rem, params, opt_state = (
+                    make_device_sampled_sharded_multistep(
+                        desc, cfg, dc, rem_steps, mesh,
+                        params, opt_state,
+                        num_entities=num_real_entities,
+                        epoch_exact=True,
+                    )
+                )
         else:
             device_run = make_device_sampled_multistep(
-                desc, cfg, dc, max(steps_per_call, 1), epoch_exact=True
+                desc, cfg, dc, steps_per_call, epoch_exact=True
             )
+            if rem_steps:
+                device_run_rem = make_device_sampled_multistep(
+                    desc, cfg, dc, rem_steps, epoch_exact=True
+                )
 
     multistep = None
     if steps_per_call > 1 and not on_device_sampling:
@@ -476,6 +493,7 @@ def train_model(
                         _ptrs_per_epoch // cfg.batch_size) // k,
                     1,
                 )
+                epoch_steps = 0
                 for call in range(num_calls):
                     step_key = jax.random.fold_in(key, total_batches)
                     params, opt_state, costs = device_run(
@@ -487,7 +505,18 @@ def train_model(
                     # (milliseconds each through a remote tunnel).
                     batch_costs.append(costs)
                     total_batches += k
-                epoch_steps = k * len(batch_costs)
+                    epoch_steps += k
+                if device_run_rem is not None:
+                    # The epoch tail that K does not divide: one extra
+                    # compiled call of rem_steps steps.
+                    step_key = jax.random.fold_in(key, total_batches)
+                    params, opt_state, costs = device_run_rem(
+                        params, opt_state, step_key, doc_perm,
+                        num_calls * k * cfg.batch_size,
+                    )
+                    batch_costs.append(costs)
+                    total_batches += rem_steps
+                    epoch_steps += rem_steps
                 epoch_cost = (
                     float(jnp.mean(jnp.concatenate(batch_costs)))
                     if batch_costs

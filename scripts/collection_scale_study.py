@@ -52,8 +52,6 @@ QUERY_TERMS = 4
 
 
 def make_corpus(num_docs: int, gen_seed: int = 12345):
-    from cunvsm_tpu.data.corpus import Corpus
-    from cunvsm_tpu.data.vocab import Vocabulary
 
     rng = np.random.RandomState(gen_seed)
     # Global Zipf background over the full vocabulary.
@@ -80,24 +78,9 @@ def make_corpus(num_docs: int, gen_seed: int = 12345):
     perm = np.argsort(rng.rand(num_docs, DOC_LEN), axis=1)
     docs = np.take_along_axis(docs, perm, axis=1).astype(np.int32)
 
-    tokens = docs.reshape(-1)
-    counts = np.bincount(tokens, minlength=VOCAB).astype(np.int64)
-    vocab = Vocabulary(
-        terms=[f"t{i}" for i in range(VOCAB)],
-        term_to_id={f"t{i}": i for i in range(VOCAB)},
-        term_freq=counts,
-        total_terms=int(counts.sum()),
-        include_oov=False,
-        index_term_ids=np.arange(VOCAB, dtype=np.int64),
-    )
-    corpus = Corpus(
-        vocab=vocab,
-        tokens=tokens,
-        doc_offsets=np.arange(num_docs + 1, dtype=np.int64) * DOC_LEN,
-        index_lengths=np.full(num_docs, DOC_LEN, dtype=np.int64),
-        docnos=[f"d{i}" for i in range(num_docs)],
-        window_size=10,
-    )
+    from cunvsm_tpu.data.synth import corpus_from_tokens
+
+    corpus = corpus_from_tokens(docs.reshape(-1), num_docs, DOC_LEN, VOCAB)
 
     # Held-out queries: 4 distinct head words of a topic; relevance = all
     # documents of that topic.

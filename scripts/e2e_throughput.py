@@ -44,33 +44,9 @@ VOCAB = 65536
 
 
 def make_corpus(num_docs: int, doc_len: int, gen_seed: int = 4242):
-    from cunvsm_tpu.data.corpus import Corpus
-    from cunvsm_tpu.data.vocab import Vocabulary
+    from cunvsm_tpu.data.synth import zipf_corpus
 
-    rng = np.random.RandomState(gen_seed)
-    # Zipf over the vocabulary via inverse-CDF on the rank distribution.
-    p = 1.0 / np.arange(1, VOCAB + 1, dtype=np.float64) ** 1.07
-    cdf = np.cumsum(p / p.sum())
-    tokens = np.searchsorted(
-        cdf, rng.random_sample(num_docs * doc_len)
-    ).astype(np.int32)
-    counts = np.bincount(tokens, minlength=VOCAB).astype(np.int64)
-    vocab = Vocabulary(
-        terms=[f"t{i}" for i in range(VOCAB)],
-        term_to_id={f"t{i}": i for i in range(VOCAB)},
-        term_freq=counts,
-        total_terms=int(counts.sum()),
-        include_oov=False,
-        index_term_ids=np.arange(VOCAB, dtype=np.int64),
-    )
-    return Corpus(
-        vocab=vocab,
-        tokens=tokens,
-        doc_offsets=np.arange(num_docs + 1, dtype=np.int64) * doc_len,
-        index_lengths=np.full(num_docs, doc_len, dtype=np.int64),
-        docnos=[f"d{i}" for i in range(num_docs)],
-        window_size=10,
-    )
+    return zipf_corpus(num_docs, doc_len, VOCAB, seed=gen_seed)
 
 
 def main(argv=None):
@@ -131,10 +107,16 @@ def main(argv=None):
         os.path.join(workdir, "model") if args.checkpoint_every else None
     )
     samples_per_doc = max(args.doc_len - 10 + 1, 1)  # ceil(avg - w + 1)
-    steps_per_epoch = (
-        (args.num_docs * samples_per_doc // args.batch_size)
-        // args.steps_per_call * args.steps_per_call
-    ) or args.steps_per_call
+    # The trainer auto-adjusts a non-dividing steps_per_call DOWN to the
+    # largest divisor and trains every epoch step — mirror that here so
+    # the reported pairs/s counts what actually ran.
+    steps_per_epoch = max(
+        args.num_docs * samples_per_doc // args.batch_size, 1
+    )
+    steps_per_call = max(
+        d for d in range(1, max(args.steps_per_call, 1) + 1)
+        if steps_per_epoch % d == 0
+    )
     pairs_per_epoch = steps_per_epoch * args.batch_size
 
     start = time.time()
@@ -165,7 +147,7 @@ def main(argv=None):
         "unit": "pairs/s",
         "num_docs": args.num_docs,
         "batch_size": args.batch_size,
-        "steps_per_call": args.steps_per_call,
+        "steps_per_call": steps_per_call,
         "steps_per_epoch": steps_per_epoch,
         "pairs_per_epoch": pairs_per_epoch,
         "epochs": args.epochs,

@@ -63,32 +63,15 @@ def run(args):
         # a device-resident synthetic corpus (the path
         # scripts/e2e_throughput.py trains with), so the trace shows the
         # batch-construction ops responsible for the E2E-vs-step gap.
-        from cunvsm_tpu.data.corpus import Corpus
         from cunvsm_tpu.data.device_sampler import (
             make_device_sampled_multistep,
             make_epoch_permuter,
             prepare_device_corpus,
         )
-        from cunvsm_tpu.data.vocab import Vocabulary
+        from cunvsm_tpu.data.synth import uniform_corpus
 
-        doc_len = 120
-        tokens = rng.randint(
-            0, NUM_WORDS, NUM_ENTITIES * doc_len
-        ).astype(np.int32)
-        counts = np.bincount(tokens, minlength=NUM_WORDS).astype(np.int64)
-        vocab = Vocabulary(
-            terms=[f"t{i}" for i in range(NUM_WORDS)],
-            term_to_id={f"t{i}": i for i in range(NUM_WORDS)},
-            term_freq=counts, total_terms=int(counts.sum()),
-            include_oov=False,
-            index_term_ids=np.arange(NUM_WORDS, dtype=np.int64),
-        )
-        corpus = Corpus(
-            vocab=vocab, tokens=tokens,
-            doc_offsets=np.arange(NUM_ENTITIES + 1, dtype=np.int64) * doc_len,
-            index_lengths=np.full(NUM_ENTITIES, doc_len, dtype=np.int64),
-            docnos=[f"d{i}" for i in range(NUM_ENTITIES)],
-            window_size=W,
+        corpus = uniform_corpus(
+            NUM_ENTITIES, 120, NUM_WORDS, window_size=W, seed=0
         )
         dc = prepare_device_corpus(corpus)
         permuter, _ = make_epoch_permuter(dc)

@@ -125,7 +125,9 @@ def main(argv=None):
     # dictionary resolution in the reference (py/query.py:111,141-142).
     from cunvsm_tpu.data.stemming import QueryStemmer
 
-    stemmer = QueryStemmer(corpus.stemmer, corpus.vocab.term_to_id)
+    stemmer = QueryStemmer(
+        corpus.stemmer, corpus.vocab.term_to_id, on_unknown="warn"
+    )
     if stemmer.name:
         logging.info("Query stemming: %s.", stemmer.name)
     queries = {
@@ -161,6 +163,12 @@ def main(argv=None):
     )
     prefix = os.path.join(args.workdir, "nvsm")
     curve_path = os.path.join(args.workdir, "validation_curve.jsonl")
+    if not args.resume and os.path.exists(curve_path):
+        # The curve is append-only so --resume can select over pre-crash
+        # epochs; a FRESH run in a reused workdir must not inherit the
+        # previous run's points (stale epochs would contaminate
+        # best-epoch selection).
+        os.remove(curve_path)
     t_start = time.time()
 
     def validate(epoch, params, cost):

@@ -232,3 +232,22 @@ def test_brown_index_inflected_query_hits():
     assert len(stemmed) > len(raw)
     # Every stemmed hit is a real vocabulary string.
     assert all(t in vocab for t in stemmed)
+
+
+def test_unknown_manifest_stemmer_degrades_with_warning(caplog):
+    # A repository stemmed with a stemmer this framework does not
+    # implement (e.g. Indri's 'arabic') must degrade to identity with a
+    # loud warning when the name comes from a manifest/sidecar — not
+    # crash the whole protocol at startup.  Explicit user requests still
+    # raise.
+    import logging
+
+    from cunvsm_tpu.data.stemming import QueryStemmer
+
+    with caplog.at_level(logging.WARNING):
+        s = QueryStemmer("arabic", ["foo"], on_unknown="warn")
+    assert s.name is None
+    assert s.stem("running") == "running"
+    assert any("not implemented" in r.message for r in caplog.records)
+    with pytest.raises(ValueError, match="unknown stemmer"):
+        QueryStemmer("arabic", ["foo"])

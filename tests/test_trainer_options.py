@@ -10,11 +10,11 @@ from cunvsm_tpu.data.corpus import build_corpus
 from cunvsm_tpu.train.trainer import train_model
 
 
-def small_corpus():
+def small_corpus(num_docs=4):
     docs = [
         (f"d{i}", " ".join(
             f"w{j}" for j in np.random.RandomState(i).randint(0, 12, 10)))
-        for i in range(4)
+        for i in range(num_docs)
     ]
     return build_corpus(
         docs,
@@ -83,23 +83,49 @@ def test_incompatible_option_guards():
         )
 
 
-def test_on_device_steps_per_call_auto_adjusts(caplog):
-    """A steps_per_call that does not divide the epoch's step count is
-    auto-adjusted down to the largest divisor (with a warning) so no
-    remainder steps are silently dropped — the reference trains every
-    instance each epoch (data_indri.cpp:224-410)."""
+def test_on_device_steps_per_call_remainder_call(caplog):
+    """A steps_per_call that does not divide the epoch's step count
+    trains the remainder in one extra compiled call per epoch (with a
+    warning) so no remainder steps are silently dropped and K keeps its
+    requested size — the reference trains every instance each epoch
+    (data_indri.cpp:224-410)."""
     corpus = small_corpus()
     desc = ModelDesc(word_repr_size=4, entity_repr_size=4)
     cfg = small_cfg(num_epochs=2)
     # 4 docs x ceil(10-3+1)=8 instances, batch 4 -> 8 steps/epoch; K=7
-    # does not divide, largest divisor <= 7 is 4.
+    # does not divide: 1 call of 7 + a remainder call of 1.
     with caplog.at_level(logging.INFO, logger="cunvsm_tpu.train.trainer"):
         r = train_model(
             desc, cfg, corpus, on_device_sampling=True, steps_per_call=7
         )
     assert any(
-        "auto-adjusted to 4" in m for m in caplog.messages
+        "remainder steps run as one extra compiled call" in m
+        for m in caplog.messages
     ), caplog.messages
-    # Every epoch still trains the FULL 8 steps (2 calls of 4).
+    # Every epoch still trains the FULL 8 steps (7 + 1).
     assert sum("(8 steps" in m for m in caplog.messages) == 2
     assert np.isfinite(r.epoch_costs[-1])
+
+
+def test_on_device_prime_step_count_keeps_call_size(caplog):
+    """Prime epoch step counts must NOT collapse the call size to 1
+    (the old largest-divisor fallback made every epoch dispatch-bound):
+    K stays as requested and the remainder runs as one extra call."""
+    corpus = small_corpus(num_docs=5)  # 5 docs x 8 instances, batch 8 -> 5
+    desc = ModelDesc(word_repr_size=4, entity_repr_size=4)
+    cfg = small_cfg(num_epochs=1, batch_size=8)
+    with caplog.at_level(logging.INFO, logger="cunvsm_tpu.train.trainer"):
+        r = train_model(
+            desc, cfg, corpus, on_device_sampling=True, steps_per_call=3
+        )
+    # 5 steps/epoch = 1 call of 3 + remainder call of 2 — all 5 trained.
+    assert sum("(5 steps" in m for m in caplog.messages) == 1
+    assert np.isfinite(r.epoch_costs[-1])
+
+
+def test_cross_chip_reduce_dtype_validated_at_config_time():
+    with pytest.raises(ValueError, match="cross_chip_reduce_dtype"):
+        TrainConfig(
+            batch_size=4, window_size=3,
+            cross_chip_reduce_dtype="bf16",
+        ).resolved_cross_chip_reduce_dtype()
