@@ -205,6 +205,44 @@ def test_trainer_mesh_with_on_device_sampling():
     assert all(np.isfinite(x) for x in r.epoch_costs)
 
 
+def test_trainer_mesh_on_device_sampling_remainder_call(caplog):
+    # Non-dividing steps_per_call on a mesh: the epoch remainder runs
+    # through a second sharded compiled call (already-sharded params fed
+    # back through make_device_sampled_sharded_multistep).
+    import logging
+
+    from cunvsm_tpu.parallel.mesh import make_mesh
+    from cunvsm_tpu.train.trainer import train_model
+
+    rng = np.random.RandomState(11)
+    docs = [
+        (f"d{i}", " ".join(f"w{rng.randint(0, 60)}" for _ in range(n)))
+        for i, n in enumerate(rng.randint(8, 30, 40))
+    ]
+    c = build_corpus(
+        docs,
+        DataConfig(max_vocabulary_size=0, min_document_frequency=0,
+                   max_document_frequency=0),
+        window_size=4,
+    )
+    desc = ModelDesc(word_repr_size=8, entity_repr_size=8)
+    cfg = TrainConfig(
+        num_epochs=1, batch_size=16, window_size=4, num_random_entities=2,
+        learning_rate=0.05,
+    )
+    mesh = make_mesh(2, 4)
+    with caplog.at_level(logging.INFO, logger="cunvsm_tpu.train.trainer"):
+        r = train_model(
+            desc, cfg, c, mesh=mesh, on_device_sampling=True,
+            steps_per_call=7,
+        )
+    assert any(
+        "remainder steps run as one extra compiled call" in m
+        for m in caplog.messages
+    ), "fixture must produce a non-dividing epoch step count"
+    assert all(np.isfinite(x) for x in r.epoch_costs)
+
+
 class TestEpochExact:
     def test_epoch_doc_pointers_counts(self):
         """Every eligible doc appears exactly samples_per_doc times
