@@ -40,7 +40,9 @@ def read_qrels(path: str) -> Qrels:
             if len(parts) < 4:
                 continue
             qid, _, docno, rel = parts[:4]
-            qrels.setdefault(qid, {})[docno] = int(rel)
+            # The reference's product-substitutability qrels carry float
+            # relevance ("1.0"); trec_eval semantics are integral grades.
+            qrels.setdefault(qid, {})[docno] = int(float(rel))
     return qrels
 
 
