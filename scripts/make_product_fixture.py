@@ -129,6 +129,9 @@ def main(argv=None):
                 % (prod, " ".join(body))
             )
 
+    with open(os.path.join(args.out, "salted_products.txt"), "w") as f:
+        f.write("\n".join(sorted(salted)) + "\n")
+
     stats = {
         "num_products": len(products),
         "num_topics": len(topics),

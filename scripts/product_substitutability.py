@@ -43,6 +43,10 @@ def main(argv=None):
     p.add_argument("--word_repr_size", type=int, default=300)
     p.add_argument("--entity_repr_size", type=int, default=256)
     p.add_argument("--train_text_only_baseline", action="store_true")
+    p.add_argument("--planted_split", default=None,
+                   help="salted_products.txt from make_product_fixture.py: "
+                        "adds text-visible/-invisible test metrics to the "
+                        "report (synthetic-fixture attribution)")
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
     logging.basicConfig(level="INFO", format="%(asctime)s %(message)s")
@@ -112,6 +116,11 @@ def main(argv=None):
         batch_normalization=True,
     )
 
+    planted_visible = None
+    if args.planted_split:
+        with open(args.planted_split) as f:
+            planted_visible = {line.strip() for line in f if line.strip()}
+
     def run_training(sim_weight, tag):
         cfg = TrainConfig(
             num_epochs=args.num_epochs,
@@ -144,7 +153,7 @@ def main(argv=None):
             curve.append((epoch, m, run))
             logging.info("[%s] epoch %d validation MAP=%.4f", tag, epoch, m)
 
-        result = train_model(
+        train_model(
             desc,
             cfg,
             corpus,
@@ -152,11 +161,8 @@ def main(argv=None):
             epoch_callback=validate,
         )
         best_epoch, best_val, _ = max(curve, key=lambda x: x[1])
-        # Re-rank at best epoch for the test qrels.
-        best_params = result.params if best_epoch == cfg.num_epochs else None
-        engine = QueryEngine(
-            result.params, corpus.vocab.terms, corpus.docnos, nonlinearity=None
-        )
+        # The validation callback cached each evaluated epoch's full run;
+        # score the best epoch's cached run on the test qrels.
         best_run = next(r for e, m, r in curve if e == best_epoch)
         test_metrics = evaluate_run(
             best_run, qrel_test, measures=("map", "ndcg_10")
@@ -164,12 +170,34 @@ def main(argv=None):
         write_run(
             best_run, os.path.join(args.workdir, f"{tag}.run"), tag
         )
-        return {
+        out = {
             "best_epoch": best_epoch,
             "validation_map": best_val,
             "test_map": test_metrics["map"],
             "test_ndcg_10": test_metrics["ndcg_10"],
         }
+        if planted_visible is not None:
+            # Synthetic-fixture attribution (make_product_fixture.py):
+            # split the test qrels into text-visible (salted) and
+            # text-invisible products; only the similarity stream can
+            # surface the latter, so their recall isolates the Mix 'n
+            # Match injection's effect from the text objective's.
+            for name, keep in (
+                ("text_visible", lambda p: p in planted_visible),
+                ("text_invisible", lambda p: p not in planted_visible),
+            ):
+                sub = {
+                    q: {p: r for p, r in d.items() if keep(p)}
+                    for q, d in qrel_test.items()
+                }
+                sub = {q: d for q, d in sub.items() if d}
+                m = evaluate_run(
+                    best_run, sub, measures=("map", "recall_1000")
+                )
+                out[f"test_{name}"] = {
+                    k: round(v, 4) for k, v in m.items()
+                }
+        return out
 
     results = {
         "mix_n_match": run_training(
