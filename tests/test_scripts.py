@@ -207,3 +207,36 @@ def test_fusion_study_fast_cv_matches_library():
             run_a, run_b, qrels, num_folds=folds, alpha_stepsize=step
         )
         assert abs(lib - fast) < 1e-9, (lib, fast)
+
+
+def test_reference_adhoc_splits_and_product_resources_parse():
+    # The protocol scripts must consume the REFERENCE'S OWN evaluation
+    # resources directly: the TOIS adhoc splits (plain topic-id lists in
+    # validation/test) and the CIKM product-substitutability files
+    # (topics 'id;text', float-graded qrels, product_list, substitutes).
+    import os
+
+    from cunvsm_tpu.io.trec import read_qrels, read_topics
+
+    splits = "/root/reference/resources/adhoc-splits"
+    for collection in os.listdir(splits):
+        for part in ("validation", "test"):
+            path = os.path.join(splits, collection, part)
+            with open(path) as f:
+                ids = [line.strip() for line in f if line.strip()]
+            assert ids and all(i.isdigit() for i in ids), (collection, part)
+
+    res = (
+        "/root/reference/resources/product-substitutability/"
+        "sports_and_outdoors"
+    )
+    topics = read_topics(os.path.join(res, "topics"))
+    assert len(topics) == 2087 and topics["0"].startswith("snow sports")
+    qrels = read_qrels(os.path.join(res, "qrel_test"))
+    assert len(qrels) == 1879
+    assert all(
+        r == 1 for docs in qrels.values() for r in docs.values()
+    )
+    with open(os.path.join(res, "substitutes")) as f:
+        first = f.readline().split()
+    assert len(first) == 3 and float(first[2]) == 1.0
