@@ -61,6 +61,23 @@ def main(argv=None):
         "--checkpoint_every", type=int, default=5,
         help="epoch-checkpoint cadence; 0 disables checkpointing entirely",
     )
+    ap.add_argument(
+        "--mesh", default=None,
+        help="DATAxMODEL (e.g. 2x4): measure the sharded E2E path over a "
+             "device mesh — the one-command multi-chip measurement for "
+             "when multi-chip hardware is available.  CPU-smokeable only "
+             "at reduced dims (e.g. --word_repr_size 16 "
+             "--entity_repr_size 16) via JAX_PLATFORMS=cpu XLA_FLAGS="
+             "--xla_force_host_platform_device_count=8: at canonical "
+             "dims the XLA:CPU thunk executor schedules independent "
+             "collectives in device-dependent order and its rendezvous "
+             "deadlocks (40 s timeout abort) — a virtual-device-backend "
+             "artifact, not a program bug: TPU executes collectives in "
+             "program order (tests/test_sharding.py + the multichip "
+             "dryrun cover the sharded program's correctness).",
+    )
+    ap.add_argument("--word_repr_size", type=int, default=300)
+    ap.add_argument("--entity_repr_size", type=int, default=256)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args(argv)
 
@@ -82,7 +99,8 @@ def main(argv=None):
         args.num_docs, args.doc_len, len(corpus.tokens),
     )
     desc = ModelDesc(
-        word_repr_size=300, entity_repr_size=256,
+        word_repr_size=args.word_repr_size,
+        entity_repr_size=args.entity_repr_size,
         nonlinearity=Nonlinearity.HARD_TANH, batch_normalization=True,
     )
     cfg = TrainConfig(
@@ -107,17 +125,20 @@ def main(argv=None):
         os.path.join(workdir, "model") if args.checkpoint_every else None
     )
     samples_per_doc = max(args.doc_len - 10 + 1, 1)  # ceil(avg - w + 1)
-    # The trainer auto-adjusts a non-dividing steps_per_call DOWN to the
-    # largest divisor and trains every epoch step — mirror that here so
-    # the reported pairs/s counts what actually ran.
+    # The trainer trains EVERY epoch step (a non-dividing steps_per_call
+    # runs the remainder as one extra compiled call), so pairs/s counts
+    # the full epoch.
     steps_per_epoch = max(
         args.num_docs * samples_per_doc // args.batch_size, 1
     )
-    steps_per_call = max(
-        d for d in range(1, max(args.steps_per_call, 1) + 1)
-        if steps_per_epoch % d == 0
-    )
     pairs_per_epoch = steps_per_epoch * args.batch_size
+
+    mesh = None
+    if args.mesh:
+        from cunvsm_tpu.parallel.mesh import make_mesh
+
+        d, m = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(d, m)
 
     start = time.time()
     last[0] = start
@@ -128,6 +149,7 @@ def main(argv=None):
         steps_per_call=args.steps_per_call,
         checkpoint_every=args.checkpoint_every or 10**9,
         epoch_callback=cb,
+        mesh=mesh,
     )
     loop_done = time.time()
     # train_model's finally has already drained the async writer by the
@@ -147,7 +169,7 @@ def main(argv=None):
         "unit": "pairs/s",
         "num_docs": args.num_docs,
         "batch_size": args.batch_size,
-        "steps_per_call": steps_per_call,
+        "steps_per_call": args.steps_per_call,
         "steps_per_epoch": steps_per_epoch,
         "pairs_per_epoch": pairs_per_epoch,
         "epochs": args.epochs,
@@ -159,6 +181,7 @@ def main(argv=None):
         "total_wall_s": round(total_s, 1),
         "final_cost": result.epoch_costs[-1] if result.epoch_costs else None,
         "platform": args.platform or "tpu",
+        "mesh": args.mesh,
     }
     with open(args.out, "w") as f:
         f.write(json.dumps(out) + "\n")
