@@ -62,7 +62,36 @@ def main():
     )
     args = ap.parse_args()
 
+    # Probe backend initialization with a bound: if the remote-TPU tunnel
+    # relay is dead, jax.devices() hangs indefinitely on backend init —
+    # emit one parseable JSON line instead of hanging the harness.
+    import threading
+
     import jax
+
+    probe_ok = threading.Event()
+
+    def _probe():
+        try:
+            jax.devices()
+            probe_ok.set()
+        except Exception:
+            pass
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout=120)
+    if not probe_ok.is_set():
+        print(json.dumps({
+            "metric": "train_ngram_pairs_per_sec",
+            "value": None,
+            "unit": "pairs/s",
+            "vs_baseline": None,
+            "error": "jax backend init did not complete in 120 s "
+                     "(TPU tunnel unavailable)",
+        }))
+        return 1
+
     import jax.numpy as jnp
 
     from cunvsm_tpu.config import (
