@@ -101,7 +101,44 @@ def main(argv=None):
     )
     model_prefix = os.path.join(args.workdir, "model")
 
+    # Quantitative embedding quality alongside the plots: cosine
+    # silhouette of the document embeddings against the topic classes
+    # (the reference's pipeline only eyeballs the t-SNE,
+    # visualize-reuters-collection.sh; a per-epoch score makes the
+    # clustering claim measurable).
+    import numpy as np
+
+    label_by_docno = {}
+    with open(classes) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) == 2:
+                label_by_docno[parts[0]] = parts[1]
+    labeled_rows = [
+        i for i, d in enumerate(corpus.docnos) if d in label_by_docno
+    ]
+    labels = [label_by_docno[corpus.docnos[i]] for i in labeled_rows]
+    silhouette_curve = []
+
+    def class_silhouette(params):
+        from sklearn.metrics import silhouette_score
+
+        emb = np.asarray(params.entity_reprs)[labeled_rows]
+        emb = emb / np.maximum(
+            np.linalg.norm(emb, axis=1, keepdims=True), 1e-12
+        )
+        if len(set(labels)) < 2:
+            return None
+        return float(
+            silhouette_score(emb, labels, metric="cosine")
+        )
+
     def plot_epoch(epoch, params, cost):
+        s = class_silhouette(params)
+        if s is not None:
+            silhouette_curve.append((epoch, round(s, 4)))
+            logging.info("Epoch %d class silhouette (cosine) = %.4f",
+                         epoch, s)
         visualize.main(
             [
                 "--model", model_prefix,
@@ -120,6 +157,15 @@ def main(argv=None):
         epoch_callback=plot_epoch,
     )
     logging.info("Plots in %s.", plots)
+
+    import json
+
+    with open(os.path.join(args.workdir, "metrics.json"), "w") as f:
+        json.dump({
+            "num_labeled_docs": len(labeled_rows),
+            "num_classes": len(set(labels)),
+            "class_silhouette_cosine_by_epoch": silhouette_curve,
+        }, f, indent=2)
 
     gif = os.path.join(args.workdir, "training.gif")
     if stitch_gif(sorted(glob.glob(os.path.join(plots, "epoch_*.png"))), gif):

@@ -240,3 +240,43 @@ def test_reference_adhoc_splits_and_product_resources_parse():
     with open(os.path.join(res, "substitutes")) as f:
         first = f.readline().split()
     assert len(first) == 3 and float(first[2]) == 1.0
+
+
+def test_visualize_reuters_pipeline_with_metrics(tmp_path):
+    # The Reuters E2E script end to end on synthetic SGML: extraction ->
+    # training -> per-epoch plots + the quantitative class-silhouette
+    # curve (metrics.json).
+    import json
+    import random
+
+    import numpy as np
+
+    from visualize_reuters import main as reuters_main
+
+    random.seed(5)
+    classes = ["grain", "oil", "ship"]
+    arts = []
+    for i in range(24):
+        c = classes[i % 3]
+        words = " ".join(
+            f"{c}w{random.randint(0, 6)}" for _ in range(40)
+        )
+        arts.append(
+            f'<REUTERS NEWID="{i + 1}"><TOPICS><D>{c}</D></TOPICS>'
+            f"<TITLE>t</TITLE><BODY>{words}</BODY></REUTERS>"
+        )
+    sgm = tmp_path / "synth.sgm"
+    sgm.write_text("\n".join(arts) + "\n")
+    work = tmp_path / "work"
+    rc = reuters_main([
+        "--sgm", str(sgm), "--workdir", str(work),
+        "--num_epochs", "6", "--batch_size", "32",
+        "--word_repr_size", "8", "--entity_repr_size", "8",
+    ])
+    assert rc == 0
+    metrics = json.load(open(work / "metrics.json"))
+    curve = metrics["class_silhouette_cosine_by_epoch"]
+    assert metrics["num_classes"] == 3 and len(curve) == 6
+    # Topic-disjoint vocabularies: the class structure must emerge.
+    assert curve[-1][1] > curve[0][1]
+    assert (work / "plots" / "epoch_006.png").exists()
