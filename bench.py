@@ -70,25 +70,32 @@ def main():
     import jax
 
     probe_ok = threading.Event()
+    probe_error = []
 
     def _probe():
         try:
             jax.devices()
             probe_ok.set()
-        except Exception:
-            pass
+        except Exception as e:  # report the REAL error, not a fake timeout
+            probe_error.append(f"{type(e).__name__}: {e}")
 
     t = threading.Thread(target=_probe, daemon=True)
     t.start()
     t.join(timeout=120)
     if not probe_ok.is_set():
+        metric = "train_ngram_pairs_per_sec"
+        if args.reference_exact:
+            metric += "_reference_exact"
         print(json.dumps({
-            "metric": "train_ngram_pairs_per_sec",
+            "metric": metric,
             "value": None,
             "unit": "pairs/s",
             "vs_baseline": None,
-            "error": "jax backend init did not complete in 120 s "
-                     "(TPU tunnel unavailable)",
+            "error": (
+                probe_error[0] if probe_error else
+                "jax backend init did not complete in 120 s "
+                "(TPU tunnel unavailable)"
+            ),
         }))
         return 1
 

@@ -117,8 +117,10 @@ def train_model(
     chains that many steps inside one compiled scan (dispatch amortization;
     incompatible with check_gradients and intra-group dump_every
     granularity; under on-device sampling a K that does not divide the
-    epoch's step count is auto-adjusted down to the largest divisor — with
-    a warning — so every full batch trains exactly once per epoch).  ``mesh`` (a jax.sharding.Mesh with ("data", "model")
+    epoch's step count keeps its size and the remainder steps run as ONE
+    extra compiled call per epoch — with a warning, since the remainder
+    program is one additional one-time compile — so every full batch
+    trains exactly once per epoch).  ``mesh`` (a jax.sharding.Mesh with ("data", "model")
     axes) trains multi-chip: the entity table and its optimizer state shard
     over the model axis and batches over data (parallel/mesh.py); requires
     batch_size divisible by the data axis and the entity count by the model

@@ -62,22 +62,21 @@ def main(argv=None):
     rng = np.random.RandomState(args.gen_seed)
     res = args.resources
 
+    from cunvsm_tpu.io.trec import read_qrels, read_topics
+
     with open(os.path.join(res, "product_list")) as f:
         products = [line.strip() for line in f if line.strip()]
-    topics = {}
-    with open(os.path.join(res, "topics")) as f:
-        for line in f:
-            qid, _, text = line.strip().partition(";")
-            if qid:
-                topics[qid] = text.split()
+    topics = {
+        qid: text.split()
+        for qid, text in read_topics(os.path.join(res, "topics")).items()
+    }
 
     rel = collections.defaultdict(set)  # product -> topic ids
     for name in ("qrel_validation", "qrel_test"):
-        with open(os.path.join(res, name)) as f:
-            for line in f:
-                parts = line.split()
-                if len(parts) >= 4 and float(parts[3]) > 0:
-                    rel[parts[2]].add(parts[0])
+        for qid, docs in read_qrels(os.path.join(res, name)).items():
+            for prod, grade in docs.items():
+                if grade > 0:
+                    rel[prod].add(qid)
 
     # Measure how strongly the REAL substitutes graph connects relevant
     # products of the same topic — the signal Mix 'n Match injects.

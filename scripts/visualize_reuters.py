@@ -123,15 +123,23 @@ def main(argv=None):
     def class_silhouette(params):
         from sklearn.metrics import silhouette_score
 
+        # sklearn requires 2 <= n_labels <= n_samples - 1.
+        n_labels = len(set(labels))
+        if not 2 <= n_labels <= len(labels) - 1:
+            return None
         emb = np.asarray(params.entity_reprs)[labeled_rows]
         emb = emb / np.maximum(
             np.linalg.norm(emb, axis=1, keepdims=True), 1e-12
         )
-        if len(set(labels)) < 2:
-            return None
-        return float(
-            silhouette_score(emb, labels, metric="cosine")
-        )
+        # Subsample: the full score is O(n^2) pairwise distances — at
+        # real Reuters scale (10-20k labeled docs) that is GBs and
+        # minutes per epoch for a trend line.
+        sample = min(len(labels), 2048)
+        return float(silhouette_score(
+            emb, labels, metric="cosine",
+            sample_size=sample if sample < len(labels) else None,
+            random_state=0,
+        ))
 
     def plot_epoch(epoch, params, cost):
         s = class_silhouette(params)

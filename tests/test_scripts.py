@@ -219,6 +219,8 @@ def test_reference_adhoc_splits_and_product_resources_parse():
     from cunvsm_tpu.io.trec import read_qrels, read_topics
 
     splits = "/root/reference/resources/adhoc-splits"
+    if not os.path.isdir(splits):
+        pytest.skip("reference checkout not available")
     for collection in os.listdir(splits):
         for part in ("validation", "test"):
             path = os.path.join(splits, collection, part)
