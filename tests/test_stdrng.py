@@ -110,3 +110,56 @@ def test_glorot_range():
     mx = np.sqrt(6.0 / 50)
     assert np.all(np.abs(vals) <= mx)
     assert np.std(vals) > 0.1 * mx
+
+
+def test_differential_fuzz_against_live_gplusplus(tmp_path):
+    # On top of the pinned goldens: compile tools/stdrng_fuzz.cpp with the
+    # real g++ and compare the twins across random seeds and parameter
+    # ranges (skipped where no compiler exists).
+    import shutil
+    import subprocess
+
+    if not shutil.which("g++"):
+        import pytest
+
+        pytest.skip("g++ not available")
+    exe = str(tmp_path / "fuzz")
+    subprocess.run(
+        ["g++", "-O2", "-std=c++14", "-o", exe, "tools/stdrng_fuzz.cpp"],
+        check=True, cwd=__file__.rsplit("/tests/", 1)[0],
+    )
+
+    def run(*args):
+        out = subprocess.run(
+            [exe] + [str(a) for a in args],
+            check=True, capture_output=True, text=True,
+        ).stdout.split()
+        return [int(x) for x in out]
+
+    rng = np.random.RandomState(99)
+    for _ in range(6):
+        seed = int(rng.randint(1, 2**31 - 1))
+        n = int(rng.randint(3, 40))
+        g = MinstdRand0(seed)
+        assert [g() for _ in range(n)] == run("raw", seed, n)
+
+        lo = int(rng.randint(0, 1000))
+        hi = lo + int(rng.randint(0, 2**20))
+        g = MinstdRand0(seed)
+        assert uniform_int(g, lo, hi) == run("uniform", seed, lo, hi, 1)[0]
+        g = MinstdRand0(seed)
+        got = [uniform_int(g, lo, hi) for _ in range(n)]
+        assert got == run("uniform", seed, lo, hi, n)
+
+        m = int(rng.randint(2, 200))
+        seq = list(range(m))
+        g = MinstdRand0(seed)
+        std_shuffle(seq, g)
+        assert seq == run("shuffle", seed, m)
+
+        g = MinstdRand0(seed)
+        bits = [
+            struct.unpack("I", struct.pack("f", generate_canonical_f32(g)))[0]
+            for _ in range(n)
+        ]
+        assert bits == run("canon", seed, n)
