@@ -283,3 +283,50 @@ class TestKeyfileRobustness:
             got = list(iter_keyfile_entries(path))
         assert any("corrupt block skipped" in r.message for r in caplog.records)
         assert len(got) == 400 - nkeys
+
+
+def test_keyfile_bulktree_randomized_roundtrip():
+    # Property test: the on-disk readers must round-trip every entry the
+    # fixture writers produce, across randomized key lengths (prefix
+    # compression stress), value sizes, and entry counts spanning many
+    # blocks.
+    import tempfile
+
+    import numpy as np
+
+    from cunvsm_tpu.data.indri import (
+        iter_bulktree_leaves,
+        iter_keyfile_entries,
+    )
+    from tests.indri_fixture import write_bulktree, write_keyfile
+
+    rng = np.random.RandomState(31)
+    for trial in range(6):
+        n = int(rng.randint(1, 1200))
+        keys = set()
+        while len(keys) < n:
+            length = int(rng.randint(1, 40))
+            keys.add(
+                "".join(chr(97 + rng.randint(0, 4)) for _ in range(length))
+            )
+        entries = [
+            (k, bytes(rng.randint(32, 127, rng.randint(1, 120)).astype(
+                np.uint8).tolist()))
+            for k in sorted(keys)
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            kf = d + "/kf"
+            write_keyfile(
+                kf, [(k.encode(), v) for k, v in entries]
+            )
+            got = sorted(iter_keyfile_entries(kf))
+            assert got == sorted(
+                (k.encode(), v) for k, v in entries
+            ), f"keyfile trial {trial}: {n} entries"
+
+            bt = d + "/bt"
+            write_bulktree(bt, entries)
+            got_bt = sorted(iter_bulktree_leaves(bt))
+            assert got_bt == sorted(
+                (k.encode(), v) for k, v in entries
+            ), f"bulktree trial {trial}: {n} entries"
