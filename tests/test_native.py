@@ -202,3 +202,45 @@ class TestNativeIndri:
         assert "state" not in got.vocab.term_to_id
         assert got.vocab.terms == want.vocab.terms
         np.testing.assert_array_equal(got.tokens, want.tokens)
+
+
+def test_native_matches_python_on_randomized_corpora(tmp_path):
+    # Differential fuzz: random trectext corpora x random filter configs;
+    # the Python pipeline is the semantic oracle for native/corpus.cpp.
+    import dataclasses
+    import random
+
+    from cunvsm_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native library not built (make -C native)")
+
+    rng = random.Random(17)
+    for trial in range(4):
+        num_docs = rng.randint(3, 60)
+        vocab = [f"w{i}" for i in range(rng.randint(5, 120))]
+        path = str(tmp_path / f"c{trial}.trectext")
+        with open(path, "w") as f:
+            for d in range(num_docs):
+                body = " ".join(
+                    rng.choice(vocab + ["42", "3.5"])
+                    for _ in range(rng.randint(1, 80))
+                )
+                f.write(
+                    f"<DOC>\n<DOCNO>d{d}</DOCNO>\n<TEXT>\n{body}\n"
+                    "</TEXT>\n</DOC>\n"
+                )
+        cfg = DataConfig(
+            corpus_path=path,
+            max_vocabulary_size=rng.choice([0, 8, 64]),
+            min_document_frequency=rng.choice([0, 2]),
+            max_document_frequency=rng.choice([0, 0.5]),
+        )
+        window = rng.randint(2, 8)
+        cp = build_corpus(list(iter_trectext(path)), cfg, window)
+        cn = native.build_corpus_native(path, cfg, window)
+        assert cn.vocab.terms == cp.vocab.terms, (trial, cfg)
+        np.testing.assert_array_equal(cn.vocab.term_freq, cp.vocab.term_freq)
+        np.testing.assert_array_equal(cn.tokens, cp.tokens)
+        np.testing.assert_array_equal(cn.doc_offsets, cp.doc_offsets)
+        assert cn.docnos == cp.docnos
