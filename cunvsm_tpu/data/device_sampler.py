@@ -62,7 +62,12 @@ class DeviceCorpus(NamedTuple):
     # window batch as B wide rows + an in-register shift costs ~W times
     # less than the B*W single-token gathers it replaces, for 2x token
     # memory.  None when window_size > G+1.
-    tokens_wide: Optional[jax.Array] = None  # [ceil(N/G)+1, 2G] int32
+    tokens_wide: Optional[jax.Array] = None  # [ceil(N/G)+1, 2G] u16/int32
+    # Same overlapped view of the per-token SELF_INFORMATION weights
+    # (term_weights[tokens] precomputed host-side): the feature-weight
+    # fetch rides the same one-row-per-instance gather + shift-selects
+    # instead of a B*W per-element take.  None under UNIFORM weighting.
+    term_weights_wide: Optional[jax.Array] = None  # [ceil(N/G)+1, 2G] f32
 
 
 # Wide-row stride (G).  2G = 32 int32 per row; windows up to G+1 = 17
@@ -89,21 +94,32 @@ def prepare_device_corpus(
             corpus.vocab.self_information().astype(np.float32)
         )
     tokens_wide = None
+    term_weights_wide = None
     if w <= WIDE_ROW_STRIDE + 1:
         g = WIDE_ROW_STRIDE
         n = len(corpus.tokens)
         num_rows = -(-n // g) + 1
+
+        def overlapped(flat, dt):
+            padded = np.zeros(num_rows * g + g, dtype=dt)
+            padded[:n] = flat
+            wide = np.lib.stride_tricks.as_strided(
+                padded,
+                shape=(num_rows, 2 * g),
+                strides=(g * padded.itemsize, padded.itemsize),
+            )
+            return jnp.asarray(np.ascontiguousarray(wide))
+
         # Word ids < 65536 fit uint16: half the gathered bytes per row
         # (the canonical vocabulary is capped at exactly 65536).
-        dt = np.uint16 if corpus.vocab.size <= 65536 else np.int32
-        padded = np.zeros(num_rows * g + g, dtype=dt)
-        padded[:n] = corpus.tokens
-        wide = np.lib.stride_tricks.as_strided(
-            padded,
-            shape=(num_rows, 2 * g),
-            strides=(g * padded.itemsize, padded.itemsize),
+        tokens_wide = overlapped(
+            corpus.tokens,
+            np.uint16 if corpus.vocab.size <= 65536 else np.int32,
         )
-        tokens_wide = jnp.asarray(np.ascontiguousarray(wide))
+        if term_weights is not None:
+            term_weights_wide = overlapped(
+                np.asarray(term_weights)[corpus.tokens], np.float32
+            )
     return DeviceCorpus(
         tokens=jnp.asarray(corpus.tokens, jnp.int32),
         doc_offsets=jnp.asarray(corpus.doc_offsets[:-1], jnp.int32),
@@ -113,6 +129,7 @@ def prepare_device_corpus(
         term_weights=term_weights,
         window_size=w,
         tokens_wide=tokens_wide,
+        term_weights_wide=term_weights_wide,
         doc_meta=jnp.asarray(
             np.stack(
                 [corpus.doc_offsets[:-1].astype(np.int32), lengths], axis=1
@@ -178,6 +195,7 @@ def sample_batch(
         max_pos - 1,
     )
     base = offsets + pos
+    feature_weights = None
     if dc.tokens_wide is not None:
         # Wide-row fetch: the gather emitter is per-ROW-rate-bound, so
         # fetch each instance's window as ONE row of the overlapped
@@ -187,15 +205,25 @@ def sample_batch(
         g = WIDE_ROW_STRIDE
         row = base // g
         off = base - row * g
-        rows = jnp.take(dc.tokens_wide, row, axis=0)  # [B, 2G]
-        bit = g // 2
-        while bit:
-            take_hi = (off & bit).astype(bool)[:, None]
-            rows = jnp.where(
-                take_hi, rows[:, bit:], rows[:, : rows.shape[1] - bit]
+
+        def align(rows):
+            bit = g // 2
+            while bit:
+                take_hi = (off & bit).astype(bool)[:, None]
+                rows = jnp.where(
+                    take_hi, rows[:, bit:], rows[:, : rows.shape[1] - bit]
+                )
+                bit //= 2
+            return rows[:, : dc.window_size]
+
+        features = align(
+            jnp.take(dc.tokens_wide, row, axis=0)
+        ).astype(jnp.int32)
+        if dc.term_weights_wide is not None:
+            # SELF_INFORMATION weights ride the same row fetch.
+            feature_weights = align(
+                jnp.take(dc.term_weights_wide, row, axis=0)
             )
-            bit //= 2
-        features = rows[:, : dc.window_size].astype(jnp.int32)
     else:
         # Fallback for windows wider than one row: W independent [B]-row
         # 1-D gathers (this toolchain's gather emitter handles a [B,W]
@@ -205,10 +233,11 @@ def sample_batch(
             [jnp.take(dc.tokens, base + j) for j in range(dc.window_size)],
             axis=1,
         )
-    if dc.term_weights is not None:
-        feature_weights = jnp.take(dc.term_weights, features)
-    else:
-        feature_weights = jnp.ones_like(features, jnp.float32)
+    if feature_weights is None:
+        if dc.term_weights is not None:
+            feature_weights = jnp.take(dc.term_weights, features)
+        else:
+            feature_weights = jnp.ones_like(features, jnp.float32)
     if dc.inv_doc_weight is not None:
         weights = jnp.take(dc.inv_doc_weight, docs)
     else:

@@ -71,9 +71,14 @@ class TestSampleBatch:
                        max_document_frequency=0),
             window_size=6,
         )
-        dc = prepare_device_corpus(c)
+        dc = prepare_device_corpus(
+            c, feature_weighting=FeatureWeighting.SELF_INFORMATION
+        )
         assert dc.tokens_wide is not None
-        dc_fallback = dc._replace(tokens_wide=None)
+        assert dc.term_weights_wide is not None
+        dc_fallback = dc._replace(
+            tokens_wide=None, term_weights_wide=None
+        )
         for seed in range(4):
             k = jax.random.PRNGKey(seed)
             wide = sample_batch(dc, k, 256)
@@ -83,6 +88,12 @@ class TestSampleBatch:
             )
             np.testing.assert_array_equal(
                 np.asarray(wide.labels), np.asarray(cols.labels)
+            )
+            # SELF_INFORMATION weights through the shared row fetch must
+            # match the per-element table take bit for bit.
+            np.testing.assert_array_equal(
+                np.asarray(wide.feature_weights),
+                np.asarray(cols.feature_weights),
             )
 
     def test_wide_rows_cover_every_offset(self):
