@@ -277,10 +277,30 @@ def make_device_sampled_sharded_multistep(
     )
     from cunvsm_tpu.train.step import make_train_step
 
+    # The shard_mapped word accumulation (optim.updates.
+    # _data_sharded_accumulate) splits the update stream over EVERY mesh
+    # axis; validate the divisibility up front with a clear message (the
+    # same check trainer.py applies to the host-fed path).
+    n_devices = int(np.prod(list(mesh.shape.values())))
+    if cfg.batch_size % n_devices:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by the total "
+            f"device count {n_devices} (mesh {dict(mesh.shape)}): the "
+            f"sharded word accumulation splits the update stream over "
+            f"every mesh axis"
+        )
+
     p_sh = param_shardings(mesh, params)
     o_sh = opt_state_shardings(mesh, opt_state, params.num_entities)
     repl = NamedSharding(mesh, P())
-    step = make_train_step(desc, cfg, jit=False, num_entities=num_entities)
+    # mesh= engages the shard_mapped word-gradient accumulation.  Without
+    # it GSPMD hits its replicate-on-unpartitionable fallback on the
+    # accumulation sort and all-reduces the FULL B*W word update stream
+    # (~614 MB/step at canonical shapes) — asserted against in
+    # tests/test_sharding.py::test_device_sampled_sharded_comm_volume.
+    step = make_train_step(
+        desc, cfg, jit=False, num_entities=num_entities, mesh=mesh
+    )
 
     def constrain(batch):
         return jax.tree_util.tree_map(

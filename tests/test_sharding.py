@@ -541,6 +541,247 @@ def test_sharded_train_step_comm_volume_per_instance():
     assert not word_ops, audit.format_table(hlo)
 
 
+def test_device_sampled_sharded_comm_volume():
+    """The FLAGSHIP multi-chip path — on-device sampling, sharded multistep
+    (data/device_sampler.py) — must route the word-gradient accumulation
+    through the shard_mapped path exactly like the host-fed sharded step.
+    Round-4 regression: the multistep built its train step WITHOUT mesh=,
+    so GSPMD's replicate-on-unpartitionable fallback all-reduced the full
+    f32[B*W, d_w] word update stream (~614 MB/step at canonical shapes)
+    while the dryrun stayed green (it asserted only cost finiteness and
+    sharding specs).  Asserts on the compiled HLO of the very program
+    `scripts/e2e_throughput.py --mesh` measures."""
+    from cunvsm_tpu.config import Nonlinearity
+    from cunvsm_tpu.data.device_sampler import (
+        make_device_sampled_sharded_multistep,
+        make_epoch_permuter,
+        prepare_device_corpus,
+    )
+    from cunvsm_tpu.data.synth import uniform_corpus
+    from cunvsm_tpu.parallel import audit
+
+    D, V, d_e, d_w, B_, W_, k = 8192, 128, 32, 16, 256, 8, 6
+    desc = ModelDesc(
+        word_repr_size=d_w, entity_repr_size=d_e,
+        nonlinearity=Nonlinearity.HARD_TANH, batch_normalization=True,
+    )
+    cfg = TrainConfig(
+        batch_size=B_, window_size=W_, num_random_entities=k,
+        update_method=UpdateMethod.ADAM,
+        adam=AdamConfig(mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
+        learning_rate=1e-3, regularization_lambda=1e-2,
+        uniform_feature_weights=True,
+        negative_pool_size=64,
+    )
+    corpus = uniform_corpus(D, 24, V, window_size=W_, seed=5)
+    dc = prepare_device_corpus(corpus)
+    params = init_params(jax.random.PRNGKey(0), V, D, desc)
+    opt = Optimizer(cfg)
+    opt_state = opt.init(params)
+    mesh = make_mesh(2, 4)
+    runner, p_s, o_s = make_device_sampled_sharded_multistep(
+        desc, cfg, dc, 2, mesh, params, opt_state,
+        num_entities=D, epoch_exact=True,
+    )
+    permuter, _ = make_epoch_permuter(dc)
+    perm = permuter(jax.random.PRNGKey(1))
+    hlo = runner.lower(
+        p_s, o_s, jax.random.PRNGKey(0), perm, 0
+    ).compile().as_text()
+    cs = audit.collectives(hlo)
+    assert cs, "expected collectives on a 2x4 mesh"
+
+    # (a) The word-gradient stream (B*W rows per step) is never moved as a
+    #     stream: no collective result part has a stream-length leading
+    #     dim.  This is the assert that is RED without mesh= (the compiled
+    #     HLO then contains `all-reduce f32[B*W, d_w]`).
+    for c in cs:
+        for dt, dims, nbytes in c.parts:
+            assert not (dims and dims[0] >= B_ * W_), (
+                c, audit.format_table(hlo)
+            )
+    # (b) No collective anywhere near the entity table or its moments.
+    table_bytes = D * d_e * 4
+    assert audit.max_collective_bytes(hlo) < table_bytes // 4, (
+        audit.format_table(hlo)
+    )
+    # (c) The full entity table never exists on any device.
+    assert f"f32[{D},{d_e}]" not in hlo
+
+
+def test_device_sampled_sharded_rejects_bad_divisibility():
+    """Batch not divisible by the total device count fails fast with a
+    clear message (the shard_mapped accumulation requirement), not deep
+    inside shard_map tracing."""
+    from cunvsm_tpu.data.device_sampler import (
+        make_device_sampled_sharded_multistep,
+        prepare_device_corpus,
+    )
+    from cunvsm_tpu.data.synth import uniform_corpus
+
+    desc = ModelDesc(word_repr_size=8, entity_repr_size=8)
+    cfg = TrainConfig(
+        batch_size=36,  # 36 % 8 != 0
+        window_size=4, num_random_entities=2,
+        update_method=UpdateMethod.ADAM,
+        adam=AdamConfig(mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
+    )
+    corpus = uniform_corpus(30, 12, 40, window_size=4, seed=6)
+    dc = prepare_device_corpus(corpus)
+    params = init_params(jax.random.PRNGKey(0), 40, 30, desc)
+    opt = Optimizer(cfg)
+    opt_state = opt.init(params)
+    mesh = make_mesh(1, 8)
+    with pytest.raises(ValueError, match="not divisible by the total"):
+        make_device_sampled_sharded_multistep(
+            desc, cfg, dc, 2, mesh, params, opt_state,
+            num_entities=30,
+        )
+
+
+def _make_sim_batch(num_ids, seed=3):
+    rng = np.random.RandomState(seed)
+    return obj.SimilarityBatch(
+        ids=jnp.asarray(rng.randint(0, num_ids, (B, 2)), jnp.int32),
+        weights=jnp.asarray(rng.rand(B).astype(np.float32) + 0.5),
+    )
+
+
+@pytest.mark.parametrize(
+    "kind,method",
+    [
+        ("text_entity_entity_entity", UpdateMethod.ADAM),
+        ("text_entity_entity_entity", UpdateMethod.SGD),
+        ("text_entity_term_term", UpdateMethod.ADAM),
+        ("text_entity_term_term", UpdateMethod.SGD),
+    ],
+)
+def test_sharded_composite_matches_single_device(kind, method):
+    """Mix 'n Match composites under a mesh: the similarity stream's
+    descriptors scatter into the *model-sharded* entity table (EE) or ride
+    the shard_mapped word accumulation (TT) — both must reproduce the
+    single-device step bit-for-float (objective.cu:698-794 semantics)."""
+    import dataclasses
+
+    from cunvsm_tpu.train.step import ObjectiveKind
+
+    okind = ObjectiveKind(kind)
+    desc, cfg, params, opt_state = make_setup(method)
+    if okind == ObjectiveKind.TEXT_ENTITY_ENTITY_ENTITY:
+        cfg = dataclasses.replace(
+            cfg, text_entity_weight=0.7, entity_entity_weight=0.3
+        )
+        sim = _make_sim_batch(NUM_ENTITIES)
+    else:
+        cfg = dataclasses.replace(
+            cfg, text_entity_weight=0.6, term_term_weight=0.4
+        )
+        sim = _make_sim_batch(NUM_WORDS)
+    batch = (make_batch(), sim)
+    key = jax.random.PRNGKey(9)
+
+    single = make_train_step(desc, cfg, okind, jit=False)
+    p_ref, _, cost_ref = single(params, opt_state, batch, key)
+
+    mesh = make_mesh(2, 4)
+    step, p_sh, o_sh = make_sharded_train_step(
+        desc, cfg, mesh, params, opt_state, batch, kind=okind
+    )
+    p_out, o_out, cost = step(p_sh, o_sh, batch, key)
+
+    np.testing.assert_allclose(float(cost), float(cost_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p_out.entity_reprs), np.asarray(p_ref.entity_reprs),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_out.word_reprs), np.asarray(p_ref.word_reprs),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_out.transform_w), np.asarray(p_ref.transform_w),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+@pytest.mark.parametrize("kind", [
+    "text_entity_entity_entity", "text_entity_term_term",
+])
+def test_sharded_composite_comm_volume(kind):
+    """The composite similarity stream must not trip GSPMD's
+    replicate-on-unpartitionable fallback: the EE stream scatters into the
+    model-sharded entity table and the TT stream joins the shard_mapped
+    word accumulation — in both cases collectives stay bounded by streams
+    and the [V, d_w] word psum, never the B*W update stream or a
+    table-sized all-gather (the SURVEY §7 hazard class that bit the
+    host-fed path in round 3 and the device-sampled path in round 4)."""
+    import dataclasses
+
+    from cunvsm_tpu.config import Nonlinearity
+    from cunvsm_tpu.parallel import audit
+    from cunvsm_tpu.train.step import ObjectiveKind
+
+    okind = ObjectiveKind(kind)
+    D, V, d_e, d_w, B_, W_, k = 8192, 128, 32, 16, 256, 8, 6
+    desc = ModelDesc(
+        word_repr_size=d_w, entity_repr_size=d_e,
+        nonlinearity=Nonlinearity.HARD_TANH, batch_normalization=True,
+    )
+    cfg = TrainConfig(
+        batch_size=B_, window_size=W_, num_random_entities=k,
+        update_method=UpdateMethod.ADAM,
+        adam=AdamConfig(mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
+        learning_rate=1e-3, regularization_lambda=1e-2,
+        uniform_feature_weights=True,
+        text_entity_weight=0.5,
+        entity_entity_weight=(
+            0.5 if okind == ObjectiveKind.TEXT_ENTITY_ENTITY_ENTITY else 0.0
+        ),
+        term_term_weight=(
+            0.5 if okind == ObjectiveKind.TEXT_ENTITY_TERM_TERM else 0.0
+        ),
+    )
+    params = init_params(jax.random.PRNGKey(0), V, D, desc)
+    opt = Optimizer(cfg)
+    opt_state = opt.init(params)
+    rng = np.random.RandomState(0)
+    te = obj.TextEntityBatch(
+        features=jnp.asarray(rng.randint(0, V, (B_, W_)), jnp.int32),
+        feature_weights=jnp.ones((B_, W_), jnp.float32),
+        labels=jnp.asarray(rng.randint(0, D, (B_,)), jnp.int32),
+        weights=jnp.ones((B_,), jnp.float32),
+    )
+    sim_range = D if okind == ObjectiveKind.TEXT_ENTITY_ENTITY_ENTITY else V
+    sim = obj.SimilarityBatch(
+        ids=jnp.asarray(rng.randint(0, sim_range, (B_, 2)), jnp.int32),
+        weights=jnp.ones((B_,), jnp.float32),
+    )
+    batch = (te, sim)
+    mesh = make_mesh(2, 4)
+    step, p_s, o_s = make_sharded_train_step(
+        desc, cfg, mesh, params, opt_state, batch, kind=okind,
+        num_entities=D,
+    )
+    hlo = step.lower(p_s, o_s, batch, jax.random.PRNGKey(0)).compile().as_text()
+    cs = audit.collectives(hlo)
+    assert cs, "expected collectives on a 2x4 mesh"
+
+    # (a) Neither update stream is ever moved as a stream.
+    for c in cs:
+        for dt, dims, nbytes in c.parts:
+            assert not (dims and dims[0] >= B_ * W_), (
+                c, audit.format_table(hlo)
+            )
+    # (b) No table-scale collective: the entity table (and its dense
+    #     moments) stay sharded.
+    table_bytes = D * d_e * 4
+    assert audit.max_collective_bytes(hlo) < table_bytes // 4, (
+        audit.format_table(hlo)
+    )
+    # (c) The full entity table never exists on any device.
+    assert f"f32[{D},{d_e}]" not in hlo
+
+
 def test_sharded_word_psum_bf16_under_bf16_streams():
     """cross_chip_reduce_dtype auto: with bfloat16 streams the [V, d_w]
     word-gradient psum — the largest per-step collective (PERFORMANCE.md
