@@ -123,6 +123,7 @@ class TextEntitySource:
             from cunvsm_tpu.data.stdrng import MinstdRand0
 
             self._std_rng = MinstdRand0(seed)
+        self._pending_epoch: Optional[InstanceEpoch] = None
         self.drop_remainder = drop_remainder and not pad_remainder
         self.pad_remainder = pad_remainder
 
@@ -202,6 +203,40 @@ class TextEntitySource:
             doc_ids[perm].astype(np.int32), positions[perm]
         )
 
+    def _next_epoch(self) -> InstanceEpoch:
+        """The next epoch's instances, consuming the pre-drawn epoch if
+        ``draw_next_epoch`` already paid for it."""
+        if self._pending_epoch is not None:
+            epoch, self._pending_epoch = self._pending_epoch, None
+            return epoch
+        return (
+            self._stochastic_epoch() if self.shuffle
+            else self._sequential_epoch()
+        )
+
+    def draw_next_epoch(self) -> None:
+        """Consume the next epoch's instance draws NOW and cache the result.
+
+        Reference draw-order hook: the CUDA binary performs epoch 1's
+        position draws + pointer shuffle inside the StochasticInstance-
+        Generator *constructor* (data_indri.cpp:279,328-398), BEFORE
+        model.initialize's Glorot draws from the same shared engine
+        (main.cu:499,520).  A trainer replaying the full stream calls this
+        before drawing the Glorot init (models.params.reference_init_params)
+        so draws land in the reference's order:
+        [epoch-1 reset][Glorot][epoch-1 labels][epoch-2 reset][...]."""
+        if self._pending_epoch is not None:
+            raise RuntimeError("an epoch is already drawn and pending")
+        self._pending_epoch = (
+            self._stochastic_epoch() if self.shuffle
+            else self._sequential_epoch()
+        )
+
+    @property
+    def std_rng(self):
+        """The shared libstdc++-twin engine (reference_rng only)."""
+        return self._std_rng
+
     def skip_epochs(self, n: int) -> None:
         """Advance the sampling RNG past n epochs (resume support): a
         resumed run's epoch N+1 must draw the same instances it would have
@@ -211,7 +246,7 @@ class TextEntitySource:
         actually made, not skipped over)."""
         for _ in range(n):
             if self.shuffle:
-                self._stochastic_epoch()
+                self._next_epoch()
                 if self.reference_rng and self._num_negative:
                     from cunvsm_tpu.data.stdrng import uniform_int
 
@@ -279,9 +314,7 @@ class TextEntitySource:
         )
 
     def epoch_batches(self) -> Iterator[TextEntityBatchNp]:
-        epoch = (
-            self._stochastic_epoch() if self.shuffle else self._sequential_epoch()
-        )
+        epoch = self._next_epoch()
         n = len(epoch)
         bs = self.batch_size
         full = n - (n % bs) if self.drop_remainder else n

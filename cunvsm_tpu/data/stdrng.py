@@ -17,12 +17,12 @@ fixed for libstdc++ (the toolchain the reference builds under):
 Every function here is pinned bit-for-bit against real libstdc++ output
 (tests/test_stdrng.py; goldens produced by tools/stdrng_golden.cpp) so a
 training run with ``TrainConfig.reference_rng=True`` draws the exact instance
-order and negative-label stream the CUDA binary draws for the same seed —
-the one interop check stronger than checkpoint-loader parity.  Model init
-stays jax-PRNG (document the offset with :meth:`MinstdRand0.discard`, which
-jumps the stream in O(log n); the reference consumes exactly one draw per
-initialized matrix element between its first epoch reset and the first
-batch's negatives).
+order, Glorot init (models.params.reference_init_params, drawn between the
+first epoch reset and the first batch's negatives exactly as the reference
+interleaves them — main.cu:499,520), and negative-label stream the CUDA
+binary draws for the same seed — the one interop check stronger than
+checkpoint-loader parity.  Full-protocol goldens incl. init:
+tools/reference_init_golden.cpp + tests/test_reference_rng.py.
 """
 
 from __future__ import annotations
@@ -132,20 +132,29 @@ def generate_canonical_f32(g: MinstdRand0) -> float:
 def glorot_uniform_f32(
     g: MinstdRand0, rows: int, cols: int
 ) -> List[float]:
-    """``init_matrix_glorot`` (cuda_utils.h:35-47): row-major
-    ``2 * max * (canonical - 0.5)`` with max = sqrt(6 / (rows + cols)),
-    computed in float32 like the reference's FLOATING_POINT_TYPE=float
-    build."""
+    """``init_matrix_glorot`` (cuda_utils.h:35-47): element i =
+    ``2 * max * (generate_canonical<float,1>(g) - 0.5)`` with
+    ``const float max = sqrt(6.0 / (rows + cols))``, in the reference's
+    FLOATING_POINT_TYPE=float release build.
+
+    C++ promotion semantics matter for bit-exactness: ``0.5`` is a double
+    literal, so ``canonical - 0.5`` and the outer product evaluate in
+    DOUBLE precision with a single rounding to float at the assignment —
+    rounding the difference to f32 first diverges by one ulp for part of
+    the c < 0.25 draws (Sterbenz only covers c in [0.25, 1]).  Pinned
+    against live g++ in tests/test_stdrng.py."""
     import math
 
     def f32(x: float) -> float:
         return struct.unpack("f", struct.pack("f", x))[0]
 
-    mx = f32(math.sqrt(6.0 / (rows + cols)))
+    mx = f32(math.sqrt(6.0 / (rows + cols)))  # const FloatT max = sqrt(...)
+    two_mx = f32(2.0 * mx)  # 2 * max: int promotes to float; exact anyway
     out = []
     for _ in range(rows * cols):
         c = generate_canonical_f32(g)
-        out.append(f32(f32(2.0 * mx) * f32(c - 0.5)))
+        # float * (float - double) -> double, one final f32 rounding.
+        out.append(f32(two_mx * (c - 0.5)))
     return out
 
 

@@ -59,6 +59,59 @@ def glorot_uniform(key: jax.Array, rows: int, cols: int, dtype) -> jax.Array:
     )
 
 
+def reference_init_params(
+    engine,
+    num_words: int,
+    num_entities: int,
+    desc: ModelDesc,
+    dtype=jnp.float32,
+    pad_entities_to: int = 0,
+) -> ModelParams:
+    """Bit-exact twin of the reference's host Glorot init, drawn from the
+    shared minstd_rand0 ``engine`` (data/stdrng.py).
+
+    Draw order follows ModelBase::initialize (model.cu:37-43): words, then
+    entities, then the transform; the bias is zero-filled and consumes no
+    draws (params.cu:361-372).  Each matrix is filled in device_matrix
+    column-major order (init_matrix_glorot's linear loop, cuda_utils.h:44-47)
+    with limits sqrt(6 / (rows + cols)) of the DEVICE shape — (repr_size,
+    num_objects) for representations (storage.cu:10) and (entity_dim,
+    word_dim) for the transform (storage.cu:190) — which lands exactly on
+    this repo's numpy orientations ([objects, dim] / [word_dim, entity_dim])
+    as a plain reshape of the sequential draw stream.  Values are computed
+    in float32 like the reference's FLOATING_POINT_TYPE=float release build,
+    then cast to ``dtype``.
+
+    ``pad_entities_to`` > num_entities appends zero rows (mesh padding);
+    padded rows consume no reference draws.
+    """
+    import numpy as np
+
+    from cunvsm_tpu.data.stdrng import glorot_uniform_f32
+
+    d_w, d_e = desc.word_repr_size, desc.entity_repr_size
+    words = np.asarray(
+        glorot_uniform_f32(engine, d_w, num_words), np.float32
+    ).reshape(num_words, d_w)
+    entities = np.asarray(
+        glorot_uniform_f32(engine, d_e, num_entities), np.float32
+    ).reshape(num_entities, d_e)
+    transform = np.asarray(
+        glorot_uniform_f32(engine, d_e, d_w), np.float32
+    ).reshape(d_w, d_e)
+    if pad_entities_to > num_entities:
+        entities = np.concatenate(
+            [entities, np.zeros((pad_entities_to - num_entities, d_e),
+                                np.float32)]
+        )
+    return ModelParams(
+        word_reprs=jnp.asarray(words, dtype),
+        entity_reprs=jnp.asarray(entities, dtype),
+        transform_w=jnp.asarray(transform, dtype),
+        transform_b=jnp.zeros((d_e,), dtype=dtype),
+    )
+
+
 def init_params(
     key: jax.Array,
     num_words: int,

@@ -204,9 +204,30 @@ def train_model(
             )
         num_table_entities = pad_entities(num_real_entities, model_axis)
 
-    params = init_params(
-        key, corpus.vocab.size, num_table_entities, desc, dtype=dtype
-    )
+    if cfg.reference_rng:
+        # Full-stream replay: the reference performs epoch 1's position
+        # draws + pointer shuffle in the generator ctor (data_indri.cpp:
+        # 279,328-398), THEN Glorot init from the same engine (main.cu:
+        # 499,520), then per-batch negative labels — reproduce that order
+        # so a seed-for-seed run is bit-comparable with the CUDA binary
+        # end to end.
+        if compute_initial_cost:
+            raise ValueError(
+                "reference_rng does not replay the initial-cost pass's "
+                "label draws (main.cu:544-562); disable "
+                "compute_initial_cost under reference_rng"
+            )
+        from cunvsm_tpu.models.params import reference_init_params
+
+        source.draw_next_epoch()
+        params = reference_init_params(
+            source.std_rng, corpus.vocab.size, num_real_entities, desc,
+            dtype=dtype, pad_entities_to=num_table_entities,
+        )
+    else:
+        params = init_params(
+            key, corpus.vocab.size, num_table_entities, desc, dtype=dtype
+        )
     optimizer = Optimizer(cfg)
     opt_state = optimizer.init(params)
 

@@ -78,6 +78,131 @@ def test_label_stream_matches_reference_for_seed_1():
     assert negatives == GOLD_NEGATIVES
 
 
+# Glorot init interleaved into the same seed-1 stream (the full trainer
+# protocol): epoch-1 reset draws, then init_matrix_glorot for words
+# (d_w=3 x V=40), entities (d_e=2 x D=5), transform (2 x 3) in
+# ModelBase::initialize order (model.cu:37-43), then the first-epoch
+# negatives.  f32 bit patterns produced by real libstdc++/g++ via
+# tools/reference_init_golden.cpp.
+GOLD_INIT_D_W, GOLD_INIT_D_E = 3, 2
+GOLD_WORD_BITS_HEAD = [1044654227, 1052496762, 3184396633, 3191964937,
+                       1052284006, 1042962128, 1044501080, 1038603303]
+GOLD_WORD_BITS_TAIL = [3194335460, 3188344564, 1036372303, 3197028654]
+GOLD_ENTITY_BITS = [1049584899, 1046913205, 1057991074, 3203337817,
+                    3174219685, 3193036416, 3205278286, 3210710847,
+                    1061054135, 3188415973]
+GOLD_TRANSFORM_BITS = [3209217895, 1065024289, 3192468941, 3209616066,
+                       1062751293, 3211050138]
+GOLD_NEGATIVES_AFTER_INIT_HEAD = [0, 0, 1, 1, 0, 3, 2, 1]
+GOLD_NEGATIVES_AFTER_INIT_TAIL = [2, 2, 4, 1]
+
+
+def _f32_bits(arr):
+    import struct
+
+    flat = np.asarray(arr, np.float32).reshape(-1)
+    return [
+        struct.unpack("<I", struct.pack("<f", float(v)))[0] for v in flat
+    ]
+
+
+def test_glorot_init_matches_reference_for_seed_1():
+    """The full replay protocol is bit-exact against real libstdc++: epoch-1
+    reset draws (draw_next_epoch), Glorot init (reference_init_params), then
+    the label stream continues from the post-init stream position."""
+    from cunvsm_tpu.config import ModelDesc
+    from cunvsm_tpu.models.params import reference_init_params
+
+    corpus = toy_corpus()
+    src = make_source()
+    src.draw_next_epoch()  # the generator-ctor reset (data_indri.cpp:279)
+    desc = ModelDesc(
+        word_repr_size=GOLD_INIT_D_W, entity_repr_size=GOLD_INIT_D_E
+    )
+    params = reference_init_params(
+        src.std_rng, corpus.vocab.size, corpus.num_docs, desc
+    )
+    word_bits = _f32_bits(params.word_reprs)
+    assert word_bits[:8] == GOLD_WORD_BITS_HEAD
+    assert word_bits[-4:] == GOLD_WORD_BITS_TAIL
+    assert _f32_bits(params.entity_reprs) == GOLD_ENTITY_BITS
+    assert _f32_bits(params.transform_w) == GOLD_TRANSFORM_BITS
+    assert np.all(np.asarray(params.transform_b) == 0.0)
+
+    negatives = []
+    for batch in src.epoch_batches():
+        negatives.extend(int(x) for x in batch.negatives.ravel())
+    assert negatives[:8] == GOLD_NEGATIVES_AFTER_INIT_HEAD
+    assert negatives[-4:] == GOLD_NEGATIVES_AFTER_INIT_TAIL
+    # The instance order itself is unaffected by where init draws land
+    # (reset draws all precede init).
+    assert len(negatives) == len(GOLD_NEGATIVES)
+
+
+def test_glorot_init_full_differential_against_live_gplusplus(tmp_path):
+    """Compile tools/reference_init_golden.cpp with the live g++ and compare
+    every word/entity/transform bit and the post-init negative stream."""
+    import re
+    import shutil
+    import subprocess
+
+    if not shutil.which("g++"):
+        pytest.skip("g++ not available")
+    exe = str(tmp_path / "refinit")
+    subprocess.run(
+        ["g++", "-O2", "-std=c++14", "-o", exe,
+         "tools/reference_init_golden.cpp"],
+        check=True, cwd="/root/repo",
+    )
+    txt = subprocess.run([exe], capture_output=True, text=True).stdout
+
+    def arr(name):
+        return [int(x) for x in
+                re.search(name + r" = \[([^\]]*)\]", txt).group(1).split(",")]
+
+    from cunvsm_tpu.config import ModelDesc
+    from cunvsm_tpu.models.params import reference_init_params
+
+    corpus = toy_corpus()
+    src = make_source()
+    src.draw_next_epoch()
+    desc = ModelDesc(
+        word_repr_size=GOLD_INIT_D_W, entity_repr_size=GOLD_INIT_D_E
+    )
+    params = reference_init_params(
+        src.std_rng, corpus.vocab.size, corpus.num_docs, desc
+    )
+    assert _f32_bits(params.word_reprs) == arr("word_bits")
+    assert _f32_bits(params.entity_reprs) == arr("entity_bits")
+    assert _f32_bits(params.transform_w) == arr("transform_bits")
+    negatives = []
+    for batch in src.epoch_batches():
+        negatives.extend(int(x) for x in batch.negatives.ravel())
+    assert negatives == arr("negatives")
+
+
+def test_trainer_uses_reference_init():
+    """train_model under reference_rng initializes from the shared stream
+    (epoch-1 reset draws first, Glorot second): with num_epochs=0 the
+    returned params ARE the init and must match the pinned g++ bits."""
+    from cunvsm_tpu.train.trainer import train_model
+
+    corpus = toy_corpus()
+    desc = ModelDesc(
+        word_repr_size=GOLD_INIT_D_W, entity_repr_size=GOLD_INIT_D_E
+    )
+    cfg = TrainConfig(
+        num_epochs=0, batch_size=BATCH, window_size=WINDOW,
+        num_random_entities=NEG, reference_rng=True, seed=1,
+    )
+    res = train_model(desc, cfg, corpus)
+    word_bits = _f32_bits(res.params.word_reprs)
+    assert word_bits[:8] == GOLD_WORD_BITS_HEAD
+    assert word_bits[-4:] == GOLD_WORD_BITS_TAIL
+    assert _f32_bits(res.params.entity_reprs) == GOLD_ENTITY_BITS
+    assert _f32_bits(res.params.transform_w) == GOLD_TRANSFORM_BITS
+
+
 def test_second_epoch_continues_the_stream():
     """Epoch 2's draws continue the shared stream (the reference reuses the
     same RNG across resets) — they must differ from epoch 1 and be

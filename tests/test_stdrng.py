@@ -163,3 +163,14 @@ def test_differential_fuzz_against_live_gplusplus(tmp_path):
             for _ in range(n)
         ]
         assert bits == run("canon", seed, n)
+
+        # init_matrix_glorot's exact expression, incl. the float-double
+        # promotion of (canonical - 0.5) — see glorot_uniform_f32.
+        rows = int(rng.randint(1, 50))
+        cols = int(rng.randint(1, 50))
+        g = MinstdRand0(seed)
+        bits = [
+            struct.unpack("I", struct.pack("f", v))[0]
+            for v in glorot_uniform_f32(g, rows, cols)
+        ]
+        assert bits == run("glorot", seed, rows, cols)

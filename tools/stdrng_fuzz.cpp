@@ -7,7 +7,12 @@
 //   stdrng_fuzz uniform <seed> <lo> <hi> <n>      (fresh dist per draw)
 //   stdrng_fuzz shuffle <seed> <n>
 //   stdrng_fuzz canon   <seed> <n>                (float32 bit patterns)
+//   stdrng_fuzz glorot  <seed> <rows> <cols>      (init_matrix_glorot bits:
+//                                                  2*max*(canonical<f,1>-0.5),
+//                                                  max=sqrt(6.0/(rows+cols)),
+//                                                  cuda_utils.h:35-47)
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -43,6 +48,18 @@ int main(int argc, char** argv) {
                 std::numeric_limits<float>::digits>(g);
             uint32_t bits;
             std::memcpy(&bits, &f, 4);
+            std::printf("%u\n", bits);
+        }
+    } else if (!strcmp(mode, "glorot")) {
+        int rows = atoi(argv[3]), cols = atoi(argv[4]);
+        const float max = sqrt(6.0 / (rows + cols));
+        for (int i = 0; i < rows * cols; ++i) {
+            // Exactly init_matrix_glorot's expression (cuda_utils.h:44-47):
+            // float - double promotes the product to double, one f32
+            // rounding at the assignment.
+            float v = 2 * max * (std::generate_canonical<float, 1>(g) - 0.5);
+            uint32_t bits;
+            std::memcpy(&bits, &v, 4);
             std::printf("%u\n", bits);
         }
     } else {
