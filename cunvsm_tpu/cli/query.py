@@ -23,6 +23,9 @@ from cunvsm_tpu.query.engine import load_query_engine
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--loglevel", default="INFO")
+    from cunvsm_tpu.cli._platform import add_platform_flag
+
+    add_platform_flag(p)
     p.add_argument("--topics", nargs="+", required=True)
     p.add_argument("--model", required=True, help="checkpoint prefix")
     p.add_argument("--epoch", required=True)
@@ -69,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from cunvsm_tpu.cli._platform import apply_platform
+
+    apply_platform(args)
     logging.basicConfig(level=args.loglevel)
 
     import jax.numpy as jnp

@@ -149,6 +149,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-instance sampling, host pipeline only).")
     p.add_argument("--output", required=True)
     p.add_argument("--loglevel", default="INFO")
+    from cunvsm_tpu.cli._platform import add_platform_flag
+
+    add_platform_flag(p)
     return p
 
 
@@ -158,6 +161,9 @@ def main(argv=None) -> int:
         level=args.loglevel,
         format="%(asctime)s %(name)s %(levelname)s: %(message)s",
     )
+    from cunvsm_tpu.cli._platform import apply_platform
+
+    apply_platform(args)
 
     if args.seed <= 0:
         # CHECK_GT(FLAGS_seed, 0) (main.cu:708).

@@ -24,6 +24,9 @@ import numpy as np
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--loglevel", default="INFO")
+    from cunvsm_tpu.cli._platform import add_platform_flag
+
+    add_platform_flag(p)
     p.add_argument("--model", required=True)
     p.add_argument("--epoch", required=True)
     p.add_argument("--limit", type=int, default=None)
@@ -42,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from cunvsm_tpu.cli._platform import apply_platform
+
+    apply_platform(args)
     logging.basicConfig(level=args.loglevel)
 
     from cunvsm_tpu.io import checkpoint as ckpt

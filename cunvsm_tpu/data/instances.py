@@ -243,7 +243,27 @@ class TextEntitySource:
         drawn in an uninterrupted run.  Under reference_rng the negative
         draws each trained batch consumed must be replayed too (rejection
         sampling makes the consumed count data-dependent, so the draws are
-        actually made, not skipped over)."""
+        actually made, not skipped over) — a debug mode, so the replay is
+        pure Python at ~1-2M draws/s: resuming a late epoch at collection
+        scale costs real host time, logged below.  (Most draws could be
+        batch-simulated in numpy since the per-shape rejection rate is
+        knowable, falling back to the scalar loop only on rejections —
+        not done while the mode stays a small-corpus verification tool.)"""
+        if self.reference_rng and n:
+            import logging
+
+            draws = n * (
+                self.instances_per_epoch()
+                + self.batches_per_epoch()
+                * self.batch_size
+                * self._num_negative
+            )
+            logging.getLogger(__name__).info(
+                "reference_rng resume: replaying ~%d host RNG draws over "
+                "%d skipped epochs (pure-Python stream replay; expect "
+                "~%.0f s at 1M draws/s).",
+                draws, n, draws / 1e6,
+            )
         for _ in range(n):
             if self.shuffle:
                 self._next_epoch()

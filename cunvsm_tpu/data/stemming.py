@@ -312,11 +312,26 @@ class QueryStemmer:
     def stem(self, token: str) -> str:
         if self.name is None or len(token) <= 2:
             return token
+        if self.name == "porter":
+            # Indri's Porter path stems EVERY query token, so stem
+            # unconditionally — a surface form that is in the stemmed
+            # vocabulary but is not its own Porter fixed point (e.g.
+            # "university" in a vocabulary that also kept it verbatim)
+            # must map to its stem like the reference's pyndri resolution
+            # would.  Fall back to the raw token only when the stem is
+            # out-of-vocabulary and the raw form is not (advisor finding,
+            # round 4).
+            stemmed = porter_stem(token)
+            if (
+                self._vocab
+                and stemmed not in self._vocab
+                and token in self._vocab
+            ):
+                return token
+            return stemmed
         if token in self._vocab:
             # kstem: dictionary words are returned unchanged.
             return token
-        if self.name == "porter":
-            return porter_stem(token)
         # kstem: inflectional steps first, then derivational endings,
         # chained one level (plural strip feeding the -ion step, e.g.
         # investigations -> investigation -> investigate) — every

@@ -491,6 +491,18 @@ def train_model(
                     cfg.num_random_entities,
                 )
 
+        if mesh is not None:
+            # Attributability: "auto" silently narrows the [V, d_w] word
+            # psum to bfloat16 when the streams are bf16 — state what the
+            # run actually does (advisor finding, round 4).
+            reduce_dt = cfg.resolved_cross_chip_reduce_dtype()
+            logger.info(
+                "Cross-chip word-gradient reduce dtype: %s (configured %s, "
+                "stream %s).",
+                reduce_dt or "float32", cfg.cross_chip_reduce_dtype,
+                cfg.stream_dtype,
+            )
+
         if check_gradients:
             from cunvsm_tpu.train.gradcheck import check_gradients as run_check
 
@@ -637,9 +649,10 @@ def train_model(
                 # Capture the first trained epoch only.
                 jax.profiler.stop_trace()
                 profiling = False
-            if output_prefix and (
+            dumped = output_prefix and (
                 epoch % checkpoint_every == 0 or epoch == cfg.num_epochs
-            ):
+            )
+            if dumped:
                 writer.save_model(
                     unpad(params), output_prefix, epoch,
                     overwrite=resume,
@@ -650,6 +663,12 @@ def train_model(
                     extra={"total_batches": np.asarray(total_batches)},
                 )
             if epoch_callback:
+                if dumped:
+                    # Callbacks routinely read this epoch's checkpoint
+                    # (validation ranking, visualization); the writes above
+                    # are async, so barrier the writer first or the
+                    # callback races the file rename.
+                    writer.wait()
                 epoch_callback(epoch, unpad(params), epoch_cost)
 
     finally:

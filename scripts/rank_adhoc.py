@@ -65,6 +65,17 @@ def main(argv=None):
     args = p.parse_args(argv)
     logging.basicConfig(level="INFO", format="%(asctime)s %(message)s")
 
+    # Epoch selection loads the best VALIDATED epoch's checkpoint; an
+    # evaluated epoch whose model was never dumped would fail only after
+    # the entire multi-hour run.  Enforce the cadence alignment up front.
+    if args.eval_every % args.checkpoint_every:
+        p.error(
+            f"--eval_every {args.eval_every} must be a multiple of "
+            f"--checkpoint_every {args.checkpoint_every}: the best "
+            f"validation epoch's checkpoint must exist for the final "
+            f"test-set ranking"
+        )
+
     if args.platform:
         import jax
 

@@ -251,3 +251,22 @@ def test_unknown_manifest_stemmer_degrades_with_warning(caplog):
     assert any("not implemented" in r.message for r in caplog.records)
     with pytest.raises(ValueError, match="unknown stemmer"):
         QueryStemmer("arabic", ["foo"])
+
+
+def test_porter_query_stemming_is_unconditional():
+    # Indri's Porter path stems every query token: a surface form that is
+    # itself in the stemmed vocabulary but is not its own Porter fixed
+    # point must still map to its stem (advisor finding, round 4); the raw
+    # token is used only when the stem is OOV and the raw form is not.
+    from cunvsm_tpu.data.stemming import QueryStemmer, porter_stem
+
+    assert porter_stem("university") == "univers"
+    # Both forms in vocab -> the stem wins (reference resolution).
+    s = QueryStemmer("porter", ["university", "univers"])
+    assert s.stem("university") == "univers"
+    # Stem OOV, raw in vocab -> fall back to the raw token.
+    s2 = QueryStemmer("porter", ["university"])
+    assert s2.stem("university") == "university"
+    # Neither in vocab -> the stem (the query engine handles OOV).
+    s3 = QueryStemmer("porter", ["other"])
+    assert s3.stem("university") == "univers"
