@@ -431,6 +431,428 @@ def make_device_sampled_multistep(
     return jax.jit(multistep, donate_argnums=(0, 1))
 
 
+class ShardedDeviceCorpus(NamedTuple):
+    """Device corpus sharded over the mesh's data axis for pod scale.
+
+    The replicated ``DeviceCorpus`` holds every chip a full copy of the
+    packed token stream (2x token memory with the wide-row view) — fine at
+    524k docs, a wall at collection scale.  Here documents are split into
+    ``num_shards`` contiguous groups balanced by token count, each group's
+    tokens RE-PACKED into a local stream, and every per-shard array is laid
+    out ``[num_shards, ...]`` and device_put sharded over the data axis:
+    chip (d, m) holds only data-group d's tokens.  Sampling runs inside a
+    shard_map, so each data group draws its batch shard from purely local
+    memory — no cross-chip token fetch, no replicated token array (asserted
+    on compiled HLO in tests/test_sharding.py).
+
+    Epoch semantics relative to the reference's StochasticInstanceGenerator
+    (data_indri.cpp:224-410): every eligible document still contributes
+    exactly ``samples_per_doc`` instances per epoch, but the shuffle is
+    per-data-group rather than global, so each global batch is stratified
+    (exactly B/n_data instances from every group) instead of exchangeable —
+    the standard data-parallel relaxation.  Shards whose pointer arrays are
+    shorter than the longest are padded by wrapping their own shuffled
+    stream (<= samples_per_doc extra draws per shard per epoch).
+    """
+
+    tokens_wide: jax.Array  # [S, rows_pad, 2G] u16/i32, P(data, None, None)
+    term_weights_wide: Optional[jax.Array]  # [S, rows_pad, 2G] f32 or None
+    doc_meta: jax.Array  # [S, d_pad, 2] int32 (LOCAL offset, length)
+    global_doc_id: jax.Array  # [S, d_pad] int32 (labels / entity rows)
+    inv_doc_weight: Optional[jax.Array]  # [S, d_pad] f32 or None
+    local_pointers: jax.Array  # [S, p_pad] int32 local doc indices
+    window_size: int
+    num_shards: int
+
+
+def prepare_sharded_device_corpus(
+    corpus: Corpus,
+    mesh,
+    weighting: Weighting = Weighting.UNIFORM,
+    feature_weighting: FeatureWeighting = FeatureWeighting.UNIFORM,
+) -> ShardedDeviceCorpus:
+    """Build the data-axis-sharded device corpus (see ShardedDeviceCorpus).
+
+    Only the wide-row window fetch is supported (window <= G+1 — the
+    canonical configuration); document groups are contiguous by id and
+    balanced greedily by token count.
+    """
+    import math
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cunvsm_tpu.parallel.mesh import DATA_AXIS
+
+    w = corpus.window_size
+    g = WIDE_ROW_STRIDE
+    if w > g + 1:
+        raise ValueError(
+            f"sharded device corpus requires window_size <= {g + 1} "
+            f"(wide-row fetch); got {w}"
+        )
+    n_data = mesh.shape[DATA_AXIS]
+    lengths = corpus.doc_lengths.astype(np.int64)
+    eligible = np.flatnonzero(lengths >= w).astype(np.int32)
+    if len(eligible) < n_data:
+        raise ValueError(
+            f"{len(eligible)} eligible documents < data axis {n_data}"
+        )
+    elig_lengths = lengths[eligible]
+    avg = float(elig_lengths.mean())
+    samples_per_doc = max(int(math.ceil(avg - w + 1)), 1)
+
+    # Contiguous-by-id groups with near-equal token mass: cut the token
+    # cumsum at multiples of total/n_data.
+    cum = np.cumsum(elig_lengths)
+    bounds = [0]
+    for s in range(1, n_data):
+        bounds.append(
+            int(np.searchsorted(cum, cum[-1] * s / n_data, side="left")) + 1
+        )
+    bounds.append(len(eligible))
+    bounds = np.maximum.accumulate(np.asarray(bounds))  # monotone guard
+
+    shards = []
+    for s in range(n_data):
+        shards.append(eligible[bounds[s]:bounds[s + 1]])
+    if any(len(s) == 0 for s in shards):
+        raise ValueError(
+            "token-balanced split produced an empty shard; fewer data "
+            "shards or more documents required"
+        )
+
+    d_pad = max(len(s) for s in shards)
+    tok_counts = [int(lengths[s].sum()) for s in shards]
+    rows_pad = max(-(-t // g) + 1 for t in tok_counts)
+    p_pad = d_pad * samples_per_doc
+
+    token_dt = np.uint16 if corpus.vocab.size <= 65536 else np.int32
+    tokens_wide = np.zeros((n_data, rows_pad, 2 * g), token_dt)
+    tw_wide = None
+    term_weights = None
+    if feature_weighting == FeatureWeighting.SELF_INFORMATION:
+        term_weights = corpus.vocab.self_information().astype(np.float32)
+        tw_wide = np.zeros((n_data, rows_pad, 2 * g), np.float32)
+    doc_meta = np.zeros((n_data, d_pad, 2), np.int32)
+    global_doc_id = np.zeros((n_data, d_pad), np.int32)
+    inv_w = None
+    if weighting == Weighting.INV_DOC_FREQUENCY:
+        inv_w = np.ones((n_data, d_pad), np.float32)
+    local_pointers = np.zeros((n_data, p_pad), np.int32)
+
+    def overlapped(flat, dt):
+        n = len(flat)
+        padded = np.zeros(rows_pad * g + g, dtype=dt)
+        padded[:n] = flat
+        wide = np.lib.stride_tricks.as_strided(
+            padded,
+            shape=(rows_pad, 2 * g),
+            strides=(g * padded.itemsize, padded.itemsize),
+        )
+        return np.ascontiguousarray(wide)
+
+    for s, docs in enumerate(shards):
+        # Re-pack this group's tokens contiguously with LOCAL offsets.
+        pieces = [
+            corpus.tokens[corpus.doc_offsets[d]:corpus.doc_offsets[d] +
+                          lengths[d]]
+            for d in docs
+        ]
+        flat = np.concatenate(pieces) if pieces else np.zeros(0, np.int32)
+        tokens_wide[s] = overlapped(flat, token_dt)
+        if tw_wide is not None:
+            tw_wide[s] = overlapped(term_weights[flat], np.float32)
+        local_off = np.concatenate(
+            [[0], np.cumsum(lengths[docs])[:-1]]
+        ).astype(np.int32)
+        doc_meta[s, :len(docs), 0] = local_off
+        doc_meta[s, :len(docs), 1] = lengths[docs]
+        # Padded doc rows keep length >= window so a (never-pointed-at)
+        # sample could not index out of bounds.
+        doc_meta[s, len(docs):, 1] = w
+        global_doc_id[s, :len(docs)] = docs
+        if inv_w is not None:
+            inv_w[s, :len(docs)] = (avg / np.maximum(lengths[docs], 1)
+                                    ).astype(np.float32)
+        ptrs = np.repeat(
+            np.arange(len(docs), dtype=np.int32), samples_per_doc
+        )
+        # Pad short shards by wrapping their own stream (<= samples_per_doc
+        # extra instances per shard per epoch, documented above).
+        local_pointers[s] = np.resize(ptrs, p_pad)
+
+    def put(arr, ndim_tail):
+        sh = NamedSharding(mesh, P(DATA_AXIS, *([None] * ndim_tail)))
+        return jax.device_put(jnp.asarray(arr), sh)
+
+    return ShardedDeviceCorpus(
+        tokens_wide=put(tokens_wide, 2),
+        term_weights_wide=(
+            put(tw_wide, 2) if tw_wide is not None else None
+        ),
+        doc_meta=put(doc_meta, 2),
+        global_doc_id=put(global_doc_id, 1),
+        inv_doc_weight=put(inv_w, 1) if inv_w is not None else None,
+        local_pointers=put(local_pointers, 1),
+        window_size=w,
+        num_shards=n_data,
+    )
+
+
+def _make_sharded_sampler(sdc: ShardedDeviceCorpus, mesh, batch_size: int):
+    """shard_mapped batch sampler: each data group draws its B/n_data batch
+    shard from its local corpus shard; model-axis chips replicate the draw
+    (same folded key, same local data)."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from cunvsm_tpu.parallel.mesh import DATA_AXIS
+
+    n_data = sdc.num_shards
+    if batch_size % n_data:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by the corpus shard "
+            f"count {n_data}"
+        )
+    b_local = batch_size // n_data
+    g = WIDE_ROW_STRIDE
+    w = sdc.window_size
+
+    has_tw = sdc.term_weights_wide is not None
+    has_invw = sdc.inv_doc_weight is not None
+
+    data3 = P(DATA_AXIS, None, None)
+    data2 = P(DATA_AXIS, None)
+    repl = P()
+    in_specs = [repl, repl, data3, data3, data2, data2]
+    if has_tw:
+        in_specs.insert(4, data3)
+    if has_invw:
+        in_specs.append(data2)
+    out_specs = (data2, data2, P(DATA_AXIS), P(DATA_AXIS))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def sample(key, cursor, *arrays):
+        it = iter(arrays)
+        tokens_wide = next(it)[0]
+        tw_wide = next(it)[0] if has_tw else None
+        doc_meta = next(it)[0]
+        gdoc = next(it)[0]
+        perm_row = next(it)[0]
+        invw = next(it)[0] if has_invw else None
+
+        di = jax.lax.axis_index(DATA_AXIS)
+        k = jax.random.fold_in(key, di)
+        idx = (
+            cursor + jnp.arange(b_local, dtype=jnp.int32)
+        ) % perm_row.shape[0]
+        local_docs = jnp.take(perm_row, idx)
+        meta = jnp.take(doc_meta, local_docs, axis=0)
+        offsets, lengths = meta[:, 0], meta[:, 1]
+        max_pos = lengths - w + 1
+        pos = jnp.minimum(
+            jnp.floor(
+                jax.random.uniform(k, (b_local,))
+                * max_pos.astype(jnp.float32)
+            ).astype(jnp.int32),
+            max_pos - 1,
+        )
+        base = offsets + pos
+        row = base // g
+        off = base - row * g
+
+        def align(rows):
+            bit = g // 2
+            while bit:
+                take_hi = (off & bit).astype(bool)[:, None]
+                rows = jnp.where(
+                    take_hi, rows[:, bit:], rows[:, : rows.shape[1] - bit]
+                )
+                bit //= 2
+            return rows[:, :w]
+
+        features = align(jnp.take(tokens_wide, row, axis=0)).astype(
+            jnp.int32
+        )
+        if tw_wide is not None:
+            feature_weights = align(jnp.take(tw_wide, row, axis=0))
+        else:
+            feature_weights = jnp.ones_like(features, jnp.float32)
+        labels = jnp.take(gdoc, local_docs)
+        if invw is not None:
+            weights = jnp.take(invw, local_docs)
+        else:
+            weights = jnp.ones((b_local,), jnp.float32)
+        return features, feature_weights, labels, weights
+
+    def sampler(key, cursor):
+        arrays = [sdc.tokens_wide]
+        if has_tw:
+            arrays.append(sdc.term_weights_wide)
+        arrays += [sdc.doc_meta, sdc.global_doc_id, sdc.local_pointers]
+        if has_invw:
+            arrays.append(sdc.inv_doc_weight)
+        f, fw, lab, wts = sample(key, cursor, *arrays)
+        return TextEntityBatch(
+            features=f, feature_weights=fw, labels=lab, weights=wts
+        )
+
+    return sampler, b_local
+
+
+def make_corpus_sharded_multistep(
+    desc,
+    cfg,
+    sdc: ShardedDeviceCorpus,
+    num_steps: int,
+    mesh,
+    params,
+    opt_state,
+    num_entities: Optional[int] = None,
+):
+    """Mesh multistep whose corpus is data-axis-sharded (ShardedDeviceCorpus):
+    same runner signature as the epoch-exact
+    ``make_device_sampled_sharded_multistep`` — step(params, opt_state, key,
+    doc_perm, start) with ``doc_perm`` the [n_data, p_pad] per-shard
+    permutation from ``make_sharded_epoch_permuter`` and ``start`` the
+    GLOBAL instance cursor (divided into the per-shard cursor inside)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cunvsm_tpu.parallel.mesh import (
+        DATA_AXIS,
+        opt_state_shardings,
+        param_shardings,
+        shard_tree,
+    )
+    from cunvsm_tpu.train.step import make_train_step
+
+    n_devices = int(np.prod(list(mesh.shape.values())))
+    if cfg.batch_size % n_devices:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by the total "
+            f"device count {n_devices} (mesh {dict(mesh.shape)})"
+        )
+
+    p_sh = param_shardings(mesh, params)
+    o_sh = opt_state_shardings(mesh, opt_state, params.num_entities)
+    repl = NamedSharding(mesh, P())
+    perm_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+    step = make_train_step(
+        desc, cfg, jit=False, num_entities=num_entities, mesh=mesh
+    )
+    n_data = sdc.num_shards
+
+    # The corpus arrays are explicit jit ARGUMENTS with data-axis
+    # shardings: closure-captured device arrays lower to embedded HLO
+    # constants at the full GLOBAL shape on every device — exactly the
+    # replicated token array this path exists to eliminate (caught on
+    # compiled HLO while building this).
+    has_tw = sdc.term_weights_wide is not None
+    has_invw = sdc.inv_doc_weight is not None
+    corpus_arrays = [sdc.tokens_wide]
+    if has_tw:
+        corpus_arrays.append(sdc.term_weights_wide)
+    corpus_arrays += [sdc.doc_meta, sdc.global_doc_id]
+    if has_invw:
+        corpus_arrays.append(sdc.inv_doc_weight)
+    corpus_shs = tuple(
+        NamedSharding(mesh, P(DATA_AXIS, *([None] * (a.ndim - 1))))
+        for a in corpus_arrays
+    )
+
+    def multistep(params, opt_state, key, doc_perm, start, *arrays):
+        it = iter(arrays)
+        sdc_t = sdc._replace(
+            tokens_wide=next(it),
+            term_weights_wide=next(it) if has_tw else None,
+            doc_meta=next(it),
+            global_doc_id=next(it),
+            inv_doc_weight=next(it) if has_invw else None,
+            local_pointers=doc_perm,
+        )
+        keys = jax.random.split(key, num_steps)
+        sampler, b_local = _make_sharded_sampler(
+            sdc_t, mesh, cfg.batch_size
+        )
+
+        def body(carry, k):
+            p, o, cursor = carry
+            k_batch, k_step = jax.random.split(k)
+            batch = sampler(k_batch, cursor)
+            p, o, cost = step(p, o, batch, k_step)
+            return (p, o, cursor + b_local), cost
+
+        (params, opt_state, _), costs = jax.lax.scan(
+            body,
+            (params, opt_state,
+             jnp.asarray(start, jnp.int32) // n_data),
+            keys,
+        )
+        return params, opt_state, costs
+
+    jitted = jax.jit(
+        multistep,
+        in_shardings=(p_sh, o_sh, repl, perm_sh, repl) + corpus_shs,
+        out_shardings=(p_sh, o_sh, repl),
+        donate_argnums=(0, 1),
+    )
+
+    class _Runner:
+        """step(params, opt_state, key, doc_perm, start) with the corpus
+        arrays bound as trailing jit arguments."""
+
+        def __call__(self, params, opt_state, key, doc_perm, start):
+            return jitted(
+                params, opt_state, key, doc_perm, start, *corpus_arrays
+            )
+
+        def lower(self, params, opt_state, key, doc_perm, start):
+            return jitted.lower(
+                params, opt_state, key, doc_perm, start, *corpus_arrays
+            )
+
+    return _Runner(), shard_tree(params, p_sh), shard_tree(opt_state, o_sh)
+
+
+def make_sharded_epoch_permuter(sdc: ShardedDeviceCorpus, mesh):
+    """(jitted permute_fn, pointers_per_epoch): permute_fn(key) reshuffles
+    every shard's local pointer array on device with a per-shard key
+    (the per-group DataSource::reset)."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from cunvsm_tpu.parallel.mesh import DATA_AXIS
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None)),
+        out_specs=P(DATA_AXIS, None),
+        check_vma=False,
+    )
+    def go(key, ptrs):
+        di = jax.lax.axis_index(DATA_AXIS)
+        return jax.random.permutation(
+            jax.random.fold_in(key, di), ptrs[0]
+        )[None]
+
+    # ptrs rides as an argument (a closure capture would lower to a
+    # replicated full-shape HLO constant — see make_corpus_sharded_multistep).
+    jitted = jax.jit(go)
+    permute = lambda k: jitted(k, sdc.local_pointers)  # noqa: E731
+    return permute, int(sdc.local_pointers.shape[1]) * sdc.num_shards
+
+
 def make_epoch_permuter(dc: DeviceCorpus):
     """(jitted permute_fn, pointers_per_epoch): permute_fn(key) shuffles the
     per-epoch document-pointer array on device (the DataSource::reset

@@ -196,11 +196,34 @@ def qlm_rank(
     fb_docs: int = 10,
     fb_terms: int = 10,
     orig_weight: float = 0.5,
+    prf_posterior: str = "rm1",
 ) -> Dict[str, List[Tuple[str, float]]]:
     """Rank all queries; param defaults: JM lambda=0.5, Dirichlet mu=avg len
-    (the reference's 'auto' settings, TUTORIAL.md:55-58)."""
+    (the reference's 'auto' settings, TUTORIAL.md:55-58).
+
+    ``prf_posterior`` selects the feedback-document posterior of the
+    relevance model:
+
+    * ``"rm1"`` (default): P(D) ∝ exp(sum_t qw_t log p(t|D)) — the query
+      LIKELIHOOD, Lavrenko RM1's document weight.
+    * ``"indri"``: P(D) ∝ exp(score / |q|) — a reconstruction of Indri's
+      RMExpander (the lexical partner the reference's pipelines fuse
+      against, rank-cranfield-collection.sh via PyndriQuery --prf): Indri
+      exponentiates the retrieval engine's returned score, which for a
+      #combine query is the MEAN of the per-term log probabilities, i.e.
+      the geometric-mean likelihood — a flatter posterior over the
+      feedback documents than RM1's product.  Everything else (tf/|D|
+      gram weights, top-fbTerms truncation, #weight interpolation with
+      the original query at fbOrigWeight) is identical.  Measured on
+      Cranfield the reconstruction lands near Indri's published numbers
+      (JM+PRF 0.4174 vs TUTORIAL.md 0.4163) — close, not bit-identical
+      (the Indri binary is unavailable in this environment); see
+      results/prf_variants_r5.json for the full variant study.
+    """
     if param is None:
         param = 0.5 if smoothing == "jm" else index.avg_doc_length
+    if prf_posterior not in ("rm1", "indri"):
+        raise ValueError(f"unknown prf_posterior {prf_posterior!r}")
 
     run: Dict[str, List[Tuple[str, float]]] = {}
     for qid, terms in queries.items():
@@ -211,9 +234,11 @@ def qlm_rank(
         scores = _score_query_vector(index, qw, smoothing, param)
 
         if prf:
-            # RM1 relevance model from the top fb_docs documents.
+            # Relevance model from the top fb_docs documents.
             order = _top_k_order(scores, fb_docs)
             doc_ll = scores[order]
+            if prf_posterior == "indri":
+                doc_ll = doc_ll / total_qw  # exp(#combine) geometric mean
             post = np.exp(doc_ll - doc_ll.max())
             post /= post.sum()
             rm = np.zeros(index.doc_term.shape[1])

@@ -104,6 +104,7 @@ def train_model(
     steps_per_call: int = 1,
     mesh=None,
     on_device_sampling: bool = False,
+    shard_corpus: bool = False,
     checkpoint_every: int = 1,
 ) -> TrainResult:
     """Train a model over a corpus.
@@ -129,6 +130,11 @@ def train_model(
     path for stochastic text-entity training; epoch-exact by default (the
     per-epoch document-pointer permutation is reshuffled on device,
     reproducing the host generator's per-document sample counts).
+    ``shard_corpus`` (with mesh + on_device_sampling) shards the
+    device-resident corpus itself over the data axis — each chip holds only
+    its document group's tokens and samples its batch shard locally
+    (pod-scale memory; per-group instead of global epoch shuffle — see
+    data.device_sampler.ShardedDeviceCorpus).
     ``checkpoint_every`` dumps the per-epoch model/resume state only every
     Nth epoch (the final epoch always dumps) — at collection scale the
     reference's dump-every-epoch default can out-pace slow storage; the
@@ -324,20 +330,41 @@ def train_model(
             prepare_device_corpus,
         )
 
-        dc = prepare_device_corpus(
-            corpus,
-            weighting=(
-                Weighting.UNIFORM
-                if weighting == Weighting.AUTOMATIC
-                else weighting
-            ),
-            feature_weighting=feature_weighting,
+        if shard_corpus and mesh is None:
+            raise ValueError("shard_corpus requires a mesh")
+        resolved_weighting = (
+            Weighting.UNIFORM
+            if weighting == Weighting.AUTOMATIC
+            else weighting
         )
-        from cunvsm_tpu.data.device_sampler import make_epoch_permuter
+        if shard_corpus:
+            # Data-axis-sharded corpus: each chip holds only its document
+            # group's tokens (pod-scale memory; per-group shuffle).
+            from cunvsm_tpu.data.device_sampler import (
+                make_sharded_epoch_permuter,
+                prepare_sharded_device_corpus,
+            )
 
-        # Epoch-exact sampling (StochasticInstanceGenerator parity): one
-        # on-device reshuffle of the document-pointer array per epoch.
-        epoch_permuter, _ptrs_per_epoch = make_epoch_permuter(dc)
+            sdc = prepare_sharded_device_corpus(
+                corpus, mesh,
+                weighting=resolved_weighting,
+                feature_weighting=feature_weighting,
+            )
+            epoch_permuter, _ptrs_per_epoch = make_sharded_epoch_permuter(
+                sdc, mesh
+            )
+        else:
+            dc = prepare_device_corpus(
+                corpus,
+                weighting=resolved_weighting,
+                feature_weighting=feature_weighting,
+            )
+            from cunvsm_tpu.data.device_sampler import make_epoch_permuter
+
+            # Epoch-exact sampling (StochasticInstanceGenerator parity):
+            # one on-device reshuffle of the document-pointer array per
+            # epoch.
+            epoch_permuter, _ptrs_per_epoch = make_epoch_permuter(dc)
         # Exact epoch semantics: a K that does not divide the epoch's step
         # count would silently drop the remainder steps every epoch (the
         # reference trains every instance each epoch).  Train the
@@ -361,7 +388,24 @@ def train_model(
                 "divisor of %d to avoid it.",
                 steps_per_call, steps_epoch, rem_steps, steps_epoch,
             )
-        if mesh is not None:
+        if shard_corpus:
+            from cunvsm_tpu.data.device_sampler import (
+                make_corpus_sharded_multistep,
+            )
+
+            device_run, params, opt_state = make_corpus_sharded_multistep(
+                desc, cfg, sdc, steps_per_call, mesh,
+                params, opt_state, num_entities=num_real_entities,
+            )
+            if rem_steps:
+                device_run_rem, params, opt_state = (
+                    make_corpus_sharded_multistep(
+                        desc, cfg, sdc, rem_steps, mesh,
+                        params, opt_state,
+                        num_entities=num_real_entities,
+                    )
+                )
+        elif mesh is not None:
             from cunvsm_tpu.data.device_sampler import (
                 make_device_sampled_sharded_multistep,
             )

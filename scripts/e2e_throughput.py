@@ -76,6 +76,11 @@ def main(argv=None):
              "program order (tests/test_sharding.py + the multichip "
              "dryrun cover the sharded program's correctness).",
     )
+    ap.add_argument("--shard_corpus", action="store_true",
+                    help="with --mesh: shard the device-resident corpus "
+                         "over the data axis (each chip holds only its "
+                         "document group's tokens — pod-scale memory; "
+                         "data.device_sampler.ShardedDeviceCorpus)")
     ap.add_argument("--word_repr_size", type=int, default=300)
     ap.add_argument("--entity_repr_size", type=int, default=256)
     ap.add_argument("--platform", default=None)
@@ -150,6 +155,7 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every or 10**9,
         epoch_callback=cb,
         mesh=mesh,
+        shard_corpus=args.shard_corpus,
     )
     loop_done = time.time()
     # train_model's finally has already drained the async writer by the
@@ -182,6 +188,7 @@ def main(argv=None):
         "final_cost": result.epoch_costs[-1] if result.epoch_costs else None,
         "platform": args.platform or "tpu",
         "mesh": args.mesh,
+        "shard_corpus": args.shard_corpus,
     }
     with open(args.out, "w") as f:
         f.write(json.dumps(out) + "\n")

@@ -66,6 +66,21 @@ def main(argv=None):
                    choices=("auto", "float32", "bfloat16"),
                    help="width of the cross-chip word-gradient psum under "
                         "a mesh (TrainConfig.cross_chip_reduce_dtype)")
+    p.add_argument("--lexical_runs_dir", default=None,
+                   help="directory of externally generated TREC run files "
+                        "(e.g. real Indri PRF runs) to fuse the trained "
+                        "models against IN ADDITION to the built-in QLM "
+                        "runs — the reference's own protocol fuses against "
+                        "external Indri tooling "
+                        "(rank-cranfield-collection.sh:99-110); every "
+                        "*.run / indri-* file in the directory becomes a "
+                        "fusion cell named by its basename")
+    p.add_argument("--prf_posterior", default="rm1",
+                   choices=("rm1", "indri"),
+                   help="feedback-document posterior of the built-in PRF "
+                        "(query/qlm.py): rm1 = query likelihood; indri = "
+                        "geometric-mean reconstruction of Indri's "
+                        "RMExpander")
     args = p.parse_args(argv)
 
     logging.basicConfig(level="INFO", format="%(asctime)s %(message)s")
@@ -131,7 +146,8 @@ def main(argv=None):
         ("qlm_dirichlet", "dirichlet", False),
         ("qlm_dirichlet_prf", "dirichlet", True),
     ]:
-        run = qlm_rank(qlm_index, queries, smoothing=smoothing, prf=prf)
+        run = qlm_rank(qlm_index, queries, smoothing=smoothing, prf=prf,
+                       prf_posterior=args.prf_posterior)
         qlm_runs[name] = run
         write_run(run, os.path.join(args.workdir, f"{name}.run"), name)
         results[name] = evaluate_run(run, qrels, measures=("map",))["map"]
@@ -211,9 +227,25 @@ def main(argv=None):
         logging.info("%s MAP = %.4f", model_name, results[model_name])
 
     # --------------------------------------------------------------- fusion
+    # Externally supplied lexical runs (the reference's protocol fuses
+    # against Indri tooling's own PRF runs) join the fusion grid by
+    # basename.
+    if args.lexical_runs_dir:
+        from cunvsm_tpu.io.trec import read_run
+
+        for fname in sorted(os.listdir(args.lexical_runs_dir)):
+            path = os.path.join(args.lexical_runs_dir, fname)
+            if not os.path.isfile(path):
+                continue
+            name = f"ext_{os.path.splitext(fname)[0]}"
+            qlm_runs[name] = read_run(path)
+            results[name] = evaluate_run(
+                qlm_runs[name], qrels, measures=("map",)
+            )["map"]
+            logging.info("%s (external) MAP = %.4f", name, results[name])
+
     for model_name in sorted(model_runs):
-        for qlm_name in ("qlm_jm", "qlm_jm_prf", "qlm_dirichlet",
-                         "qlm_dirichlet_prf"):
+        for qlm_name in sorted(qlm_runs):
             fused = fuse_fixed_alpha(
                 model_runs[model_name],
                 qlm_runs[qlm_name],

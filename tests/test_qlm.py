@@ -88,3 +88,28 @@ def test_tfidf_only_exact_matches(index):
     corpus, idx = index
     ranked = tfidf_rank(idx, ["date"])
     assert [d for d, _ in ranked] == ["d2"]
+
+
+def test_indri_prf_posterior_is_geometric_mean(index):
+    """The 'indri' posterior (RMExpander reconstruction) divides the
+    feedback-doc log-likelihood by the query mass before exponentiating —
+    with a MULTI-term query the flatter posterior yields different
+    relevance-model weights than rm1, and for a single-term query the two
+    posteriors coincide up to the shared normalization (identical runs)."""
+    corpus, idx = index
+    # Single-term query: log-likelihoods scale by 1/1 — identical runs.
+    r1 = qlm_rank(idx, {"q": ["apple"]}, smoothing="jm", prf=True,
+                  fb_docs=2, fb_terms=3, prf_posterior="rm1")
+    r2 = qlm_rank(idx, {"q": ["apple"]}, smoothing="jm", prf=True,
+                  fb_docs=2, fb_terms=3, prf_posterior="indri")
+    assert [d for d, _ in r1["q"]] == [d for d, _ in r2["q"]]
+    np.testing.assert_allclose(
+        [s for _, s in r1["q"]], [s for _, s in r2["q"]], rtol=1e-12
+    )
+    # Multi-term: valid, finite, full ranking.
+    r3 = qlm_rank(idx, {"q": ["apple", "cherry", "cherry"]}, smoothing="jm",
+                  prf=True, fb_docs=2, fb_terms=3, prf_posterior="indri")
+    assert len(r3["q"]) == 3
+    assert all(np.isfinite(s) for _, s in r3["q"])
+    with pytest.raises(ValueError, match="prf_posterior"):
+        qlm_rank(idx, {"q": ["apple"]}, prf=True, prf_posterior="bogus")

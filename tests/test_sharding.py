@@ -782,6 +782,148 @@ def test_sharded_composite_comm_volume(kind):
     assert f"f32[{D},{d_e}]" not in hlo
 
 
+# ---------------------------------------------------------------------------
+# Data-axis-sharded device corpus (pod-scale memory, round 5).
+# ---------------------------------------------------------------------------
+
+
+def _sharded_corpus_setup(num_docs=64, doc_len=20, vocab=128, window=5):
+    from cunvsm_tpu.data.device_sampler import prepare_sharded_device_corpus
+    from cunvsm_tpu.data.synth import uniform_corpus
+
+    corpus = uniform_corpus(num_docs, doc_len, vocab, window_size=window,
+                            seed=0)
+    mesh = make_mesh(2, 4)
+    return corpus, mesh, prepare_sharded_device_corpus(corpus, mesh)
+
+
+def test_sharded_corpus_sampling_is_valid_and_epoch_exact():
+    """Every sampled window is a real window of its labeled document
+    (global ids), and one epoch's pointer consumption gives every eligible
+    document exactly samples_per_doc instances (the per-group shuffle
+    preserves the reference's per-doc counts, data_indri.cpp:337-344)."""
+    import math
+
+    from cunvsm_tpu.data.device_sampler import (
+        _make_sharded_sampler,
+        make_sharded_epoch_permuter,
+    )
+
+    corpus, mesh, sdc = _sharded_corpus_setup()
+    W_c = corpus.window_size
+    permute, ptrs_per_epoch = make_sharded_epoch_permuter(sdc, mesh)
+    perm = permute(jax.random.PRNGKey(5))
+    sampler, b_local = _make_sharded_sampler(
+        sdc._replace(local_pointers=perm), mesh, 64
+    )
+    samp = jax.jit(lambda k, c: sampler(k, c))
+
+    counts = np.zeros(corpus.num_docs, np.int64)
+    first = None
+    for s in range(ptrs_per_epoch // 64):
+        b = samp(jax.random.fold_in(jax.random.PRNGKey(9), s),
+                 jnp.int32(s * b_local))
+        if first is None:
+            first = b
+        counts += np.bincount(np.asarray(b.labels),
+                              minlength=corpus.num_docs)
+    spd = max(int(math.ceil(float(corpus.doc_lengths.mean()) - W_c + 1)), 1)
+    np.testing.assert_array_equal(counts, np.full(corpus.num_docs, spd))
+
+    f = np.asarray(first.features)
+    lab = np.asarray(first.labels)
+    for i in range(len(lab)):
+        d = int(lab[i])
+        start = corpus.doc_offsets[d]
+        L = corpus.doc_lengths[d]
+        doc_tokens = corpus.tokens[start:start + L]
+        assert any(
+            np.array_equal(doc_tokens[p:p + W_c], f[i])
+            for p in range(L - W_c + 1)
+        ), (d, f[i])
+
+
+def test_sharded_corpus_no_replicated_token_array():
+    """The whole point of ShardedDeviceCorpus: the compiled multistep must
+    hold only the LOCAL token shard per device (closure capture would bake
+    the full array in as a replicated constant — the bug this test caught
+    during development) and no collective may carry token data."""
+    import re
+
+    from cunvsm_tpu.config import Nonlinearity
+    from cunvsm_tpu.data.device_sampler import (
+        make_corpus_sharded_multistep,
+        make_sharded_epoch_permuter,
+    )
+    from cunvsm_tpu.parallel import audit
+
+    corpus, mesh, sdc = _sharded_corpus_setup(
+        num_docs=1024, doc_len=24, vocab=128
+    )
+    desc = ModelDesc(word_repr_size=16, entity_repr_size=16,
+                     nonlinearity=Nonlinearity.HARD_TANH,
+                     batch_normalization=True)
+    cfg = TrainConfig(
+        batch_size=256, window_size=5, num_random_entities=3,
+        update_method=UpdateMethod.ADAM,
+        adam=AdamConfig(mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
+        learning_rate=1e-3, regularization_lambda=1e-2,
+    )
+    params = init_params(jax.random.PRNGKey(0), 128, corpus.num_docs, desc)
+    opt = Optimizer(cfg)
+    runner, p, o = make_corpus_sharded_multistep(
+        desc, cfg, sdc, 2, mesh, params, opt.init(params),
+        num_entities=corpus.num_docs,
+    )
+    permute, _ = make_sharded_epoch_permuter(sdc, mesh)
+    perm = permute(jax.random.PRNGKey(5))
+    hlo = runner.lower(p, o, jax.random.PRNGKey(1), perm, 0).compile().as_text()
+
+    S, rows, gg = sdc.tokens_wide.shape
+    token_shapes = set(re.findall(r"u16\[([\d,]+)\]", hlo))
+    assert not any(s.startswith(f"{S},") for s in token_shapes), (
+        sorted(token_shapes)
+    )
+    for c in audit.collectives(hlo):
+        assert c.dtype not in ("u16", "s16"), c
+        # No stream-size or table-size fallbacks either.
+        for _, dims, _ in c.parts:
+            assert not (dims and dims[0] >= cfg.batch_size * cfg.window_size)
+
+    # Executes and returns finite costs.
+    p2, o2, costs = runner(p, o, jax.random.PRNGKey(1), perm, 0)
+    assert np.all(np.isfinite(np.asarray(costs)))
+
+
+def test_trainer_shard_corpus_end_to_end():
+    import dataclasses
+
+    from cunvsm_tpu.config import Nonlinearity
+    from cunvsm_tpu.data.synth import uniform_corpus
+    from cunvsm_tpu.train.trainer import train_model
+
+    desc = ModelDesc(word_repr_size=16, entity_repr_size=16,
+                     nonlinearity=Nonlinearity.HARD_TANH,
+                     batch_normalization=True)
+    cfg = TrainConfig(
+        batch_size=64, window_size=5, num_random_entities=3,
+        update_method=UpdateMethod.ADAM,
+        adam=AdamConfig(mode=AdamMode.DENSE_UPDATE_DENSE_VARIANCE),
+        learning_rate=1e-3, regularization_lambda=1e-2, seed=1,
+        num_epochs=2,
+    )
+    corpus = uniform_corpus(64, 20, 128, window_size=5, seed=0)
+    mesh = make_mesh(2, 4)
+    res = train_model(desc, cfg, corpus, mesh=mesh, on_device_sampling=True,
+                      shard_corpus=True, steps_per_call=4)
+    assert len(res.epoch_costs) == 2
+    assert all(np.isfinite(c) for c in res.epoch_costs)
+    # shard_corpus without a mesh is rejected.
+    with pytest.raises(ValueError, match="shard_corpus requires a mesh"):
+        train_model(desc, cfg, corpus, on_device_sampling=True,
+                    shard_corpus=True)
+
+
 def test_sharded_word_psum_bf16_under_bf16_streams():
     """cross_chip_reduce_dtype auto: with bfloat16 streams the [V, d_w]
     word-gradient psum — the largest per-step collective (PERFORMANCE.md
