@@ -242,44 +242,62 @@ class TextEntitySource:
         resumed run's epoch N+1 must draw the same instances it would have
         drawn in an uninterrupted run.  Under reference_rng the negative
         draws each trained batch consumed must be replayed too (rejection
-        sampling makes the consumed count data-dependent, so the draws are
-        actually made, not skipped over) — a debug mode, so the replay is
-        pure Python at ~1-2M draws/s: resuming a late epoch at collection
-        scale costs real host time, logged below.  (Most draws could be
-        batch-simulated in numpy since the per-shape rejection rate is
-        knowable, falling back to the scalar loop only on rejections —
-        not done while the mode stays a small-corpus verification tool.)"""
-        if self.reference_rng and n:
+        sampling makes the consumed count data-dependent).  The replay is
+        EXACT but vectorized (stdrng.fast_forward_uniform_draws): the
+        engine is advanced through the same rejection-sampled stream in
+        numpy — ~100x the pure-Python draw loop, which cost minutes per
+        skipped epoch at collection scale (advisor finding, round 4)."""
+        if self.reference_rng and n and self.shuffle:
             import logging
 
-            draws = n * (
-                self.instances_per_epoch()
-                + self.batches_per_epoch()
-                * self.batch_size
-                * self._num_negative
+            import numpy as np
+
+            from cunvsm_tpu.data.stdrng import (
+                _RANGE,
+                fast_forward_uniform_draws,
+                past_threshold,
+                shuffle_draw_pasts,
             )
+
+            k = self._samples_per_doc
+            max_pos = (
+                self._eligible_lengths - self.corpus.window_size + 1
+            ).astype(np.int64)
+            ue = max_pos  # uniform_int(0, max_pos - 1) -> uerange = max_pos
+            pos_pasts = np.repeat(ue * (_RANGE // ue), k)
+            shuf_pasts = shuffle_draw_pasts(len(self._eligible) * k)
+            neg_pasts = np.zeros(0, np.int64)
+            if self._num_negative:
+                n_inst = self.instances_per_epoch()
+                full = (
+                    n_inst - (n_inst % self.batch_size)
+                    if self.drop_remainder
+                    else n_inst
+                )
+                neg_pasts = np.full(
+                    full * self._num_negative,
+                    past_threshold(self.corpus.num_docs),
+                    np.int64,
+                )
             logging.getLogger(__name__).info(
-                "reference_rng resume: replaying ~%d host RNG draws over "
-                "%d skipped epochs (pure-Python stream replay; expect "
-                "~%.0f s at 1M draws/s).",
-                draws, n, draws / 1e6,
+                "reference_rng resume: fast-forwarding ~%d host RNG draws "
+                "over %d skipped epochs (vectorized exact replay).",
+                n * (len(pos_pasts) + len(shuf_pasts) + len(neg_pasts)), n,
             )
+            for _ in range(n):
+                if self._pending_epoch is not None:
+                    # Pre-drawn epoch (draw_next_epoch): its position +
+                    # shuffle draws were already consumed.
+                    self._pending_epoch = None
+                else:
+                    fast_forward_uniform_draws(self._std_rng, pos_pasts)
+                    fast_forward_uniform_draws(self._std_rng, shuf_pasts)
+                if len(neg_pasts):
+                    fast_forward_uniform_draws(self._std_rng, neg_pasts)
+            return
         for _ in range(n):
             if self.shuffle:
                 self._next_epoch()
-                if self.reference_rng and self._num_negative:
-                    from cunvsm_tpu.data.stdrng import uniform_int
-
-                    g = self._std_rng
-                    hi = self.corpus.num_docs - 1
-                    n_inst = self.instances_per_epoch()
-                    full = (
-                        n_inst - (n_inst % self.batch_size)
-                        if self.drop_remainder
-                        else n_inst
-                    )
-                    for _ in range(full * self._num_negative):
-                        uniform_int(g, 0, hi)
 
     def instances_per_epoch(self) -> int:
         if self.shuffle:

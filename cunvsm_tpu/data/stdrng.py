@@ -116,6 +116,111 @@ def std_shuffle(seq: MutableSequence, g: MinstdRand0) -> None:
         seq[i], seq[j] = seq[j], seq[i]
 
 
+def _lcg_block(state: int, n: int) -> "np.ndarray":
+    """The next ``n`` raw minstd_rand0 outputs as uint64, vectorized.
+
+    out[i] = state * A^(i+1) mod M, built by index doubling (every value
+    < 2^31, so uint64 products never overflow).
+    """
+    import numpy as np
+
+    p = np.empty(n, np.uint64)
+    p[0] = _A
+    k = 1
+    while k < n:
+        m = min(k, n - k)
+        # p[k+j] = A^(k+j+1) = p[j] * A^k = p[j] * p[k-1]
+        p[k:k + m] = (p[:m] * p[k - 1]) % np.uint64(_M)
+        k *= 2
+    return (p * np.uint64(state)) % np.uint64(_M)
+
+
+def past_threshold(uerange: int) -> int:
+    """libstdc++'s downscaling acceptance bound: a raw draw with
+    ret = g() - 1 is accepted iff ret < past (bits/uniform_int_dist.h)."""
+    if uerange - 1 > _RANGE:
+        raise NotImplementedError("urange exceeds the minstd range")
+    return uerange * (_RANGE // uerange)
+
+
+def fast_forward_uniform_draws(g: MinstdRand0, pasts) -> None:
+    """Advance ``g`` past ``len(pasts)`` uniform_int draws whose acceptance
+    thresholds are ``pasts[i]`` — exactly the state the scalar
+    ``uniform_int`` loop would leave, without computing the values.
+
+    Vectorized via the dangerous-raw observation: a raw with
+    ret < min(pasts) is accepted by EVERY draw, so only the tiny fraction
+    of raws with ret >= past_min (< uerange_max / 2^31 of the stream) can
+    cause a rejection and needs scalar alignment.  Used by
+    ``instances.skip_epochs`` to replay resume streams in numpy instead of
+    minutes of pure-Python draw spinning (advisor finding, round 4);
+    differential-tested against the scalar twins in tests/test_stdrng.py.
+    """
+    import numpy as np
+
+    pasts = np.asarray(pasts, np.int64)
+    num = int(pasts.shape[0])
+    if num == 0:
+        return
+    past_min = int(pasts.min())
+    d = 0
+    while d < num:
+        n = min(max(int((num - d) * 1.02) + 16, 1024), 1 << 22)
+        raws = _lcg_block(g.state, n).astype(np.int64)
+        rets = raws - 1
+        pos = 0  # raws consumed within this chunk
+        finished = False
+        for dp in np.flatnonzero(rets >= past_min):
+            dp = int(dp)
+            take = dp - pos  # safe raws: one accepted draw each
+            if d + take >= num:
+                pos += num - d
+                d = num
+                finished = True
+                break
+            d += take
+            # The dangerous raw meets draw d.
+            if rets[dp] < pasts[d]:
+                d += 1
+            # else rejected: draw d retries with the next raw.
+            pos = dp + 1
+            if d >= num:
+                finished = True
+                break
+        if not finished:
+            take = n - pos
+            if d + take >= num:
+                pos += num - d
+                d = num
+            else:
+                d += take
+                pos = n
+        if pos > 0:
+            g.state = int(raws[pos - 1])
+
+
+def shuffle_draw_pasts(n: int) -> "np.ndarray":
+    """Acceptance thresholds of every engine draw ``std_shuffle`` over
+    ``n`` elements consumes, in order (values irrelevant for skipping)."""
+    import numpy as np
+
+    if n <= 1:
+        return np.zeros(0, np.int64)
+    if _RANGE // n >= n:  # paired-swap fast path
+        pasts = []
+        i = 1
+        if n % 2 == 0:
+            pasts.append(past_threshold(2))
+            i += 1
+        while i < n:
+            swap_range = i + 1
+            pasts.append(past_threshold(swap_range * (swap_range + 1)))
+            i += 2
+        return np.asarray(pasts, np.int64)
+    ue = np.arange(2, n + 1, dtype=np.int64)  # draws uniform(0, i), i=1..n-1
+    return ue * (_RANGE // ue)
+
+
 def generate_canonical_f32(g: MinstdRand0) -> float:
     """``std::generate_canonical<float, 1>(g)``: one engine draw, computed
     in float32 exactly as libstdc++ does (sum and divisor both f32)."""

@@ -46,6 +46,14 @@ def main(argv=None):
     p.add_argument("--negative_pool_size", type=int, default=-1)
     p.add_argument("--negative_pool_stride", type=int, default=0)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--mesh", default=None,
+                   help="train under a 'DATAxMODEL' device mesh "
+                        "(e.g. 2x4); entity table and optimizer state "
+                        "shard over the model axis")
+    p.add_argument("--shard_corpus", action="store_true",
+                   help="with a mesh + --on_device_sampling: shard the "
+                        "device-resident corpus over the data axis "
+                        "(pod-scale memory)")
     p.add_argument("--on_device_sampling", action="store_true",
                    help="sample batches inside the compiled step (the "
                         "collection-scale fast path)")
@@ -203,9 +211,18 @@ def main(argv=None):
                 f"rehearsal: simulated crash after epoch {epoch}"
             )
 
+    mesh = None
+    if args.mesh:
+        from cunvsm_tpu.parallel.mesh import make_mesh
+
+        d_ax, m_ax = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(d_ax, m_ax)
+
     train_model(
         desc, cfg, corpus, output_prefix=prefix, epoch_callback=validate,
+        mesh=mesh,
         on_device_sampling=args.on_device_sampling,
+        shard_corpus=args.shard_corpus,
         steps_per_call=args.steps_per_call,
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,

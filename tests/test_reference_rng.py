@@ -274,3 +274,21 @@ def test_reference_rng_guards():
     )
     with pytest.raises(ValueError, match="on_device_sampling"):
         train_model(desc, cfg3, toy_corpus(), on_device_sampling=True)
+
+
+def test_skip_epochs_after_draw_next_epoch():
+    """Resume under the full protocol: a source whose first epoch was
+    pre-drawn (the Glorot ordering hook) must skip to the same stream
+    position a consumed run reaches."""
+    consumed, skipped = make_source(), make_source()
+    for src in (consumed, skipped):
+        src.draw_next_epoch()
+    for _ in consumed.epoch_batches():
+        pass
+    for _ in consumed.epoch_batches():  # epoch 2
+        pass
+    skipped.skip_epochs(2)
+    assert consumed._std_rng.state == skipped._std_rng.state
+    e3a = [b.labels.tolist() for b in consumed.epoch_batches()]
+    e3b = [b.labels.tolist() for b in skipped.epoch_batches()]
+    assert e3a == e3b

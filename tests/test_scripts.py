@@ -282,3 +282,27 @@ def test_visualize_reuters_pipeline_with_metrics(tmp_path):
     # Topic-disjoint vocabularies: the class structure must emerge.
     assert curve[-1][1] > curve[0][1]
     assert (work / "plots" / "epoch_006.png").exists()
+
+
+def test_rank_adhoc_protocol_mesh_shard_corpus(adhoc_collection, tmp_path):
+    """The adhoc protocol trains under a mesh with the data-axis-sharded
+    corpus (--mesh 2x4 --shard_corpus --on_device_sampling)."""
+    import rank_adhoc
+
+    workdir = tmp_path / "out_mesh"
+    rc = rank_adhoc.main([
+        "--corpus", str(adhoc_collection / "corpus.trectext"),
+        "--topics", str(adhoc_collection / "topics.txt"),
+        "--qrels", str(adhoc_collection / "qrels.txt"),
+        "--splits", str(adhoc_collection / "splits"),
+        "--workdir", str(workdir),
+        "--num_epochs", "2", "--eval_every", "2",
+        "--word_repr_size", "16", "--entity_repr_size", "16",
+        "--batch_size", "64",
+        "--mesh", "2x4", "--on_device_sampling", "--shard_corpus",
+        "--steps_per_call", "2",
+    ])
+    assert rc in (0, None)
+    results = json.load(open(workdir / "results.json"))
+    assert results["qlm_jm_prf_test_map"] > 0.9
+    assert results["best_epoch"] == 2

@@ -174,3 +174,50 @@ def test_differential_fuzz_against_live_gplusplus(tmp_path):
             for v in glorot_uniform_f32(g, rows, cols)
         ]
         assert bits == run("glorot", seed, rows, cols)
+
+
+def test_lcg_block_matches_scalar():
+    from cunvsm_tpu.data.stdrng import _lcg_block
+
+    g = MinstdRand0(42)
+    assert list(_lcg_block(MinstdRand0(42).state, 500)) == [
+        g() for _ in range(500)
+    ]
+
+
+def test_fast_forward_uniform_draws_exact():
+    """The vectorized skip leaves the engine exactly where the scalar
+    rejection-sampling loop leaves it — mixed ranges, a high-rejection
+    constant range (uerange ~2e9 rejects ~7% of raws), and both
+    std_shuffle consumption paths (paired-swap and linear)."""
+    from cunvsm_tpu.data.stdrng import (
+        fast_forward_uniform_draws,
+        past_threshold,
+        shuffle_draw_pasts,
+    )
+
+    rng = np.random.RandomState(0)
+    for seed in (1, 7, 123456):
+        his = rng.randint(0, 3_000_000, 3000)
+        g1, g2 = MinstdRand0(seed), MinstdRand0(seed)
+        for hi in his:
+            uniform_int(g1, 0, int(hi))
+        fast_forward_uniform_draws(
+            g2, np.asarray([past_threshold(int(h) + 1) for h in his])
+        )
+        assert g1.state == g2.state
+
+    g1, g2 = MinstdRand0(3), MinstdRand0(3)
+    hi = 2_000_000_000
+    for _ in range(2000):
+        uniform_int(g1, 0, hi)
+    fast_forward_uniform_draws(
+        g2, np.full(2000, past_threshold(hi + 1), np.int64)
+    )
+    assert g1.state == g2.state
+
+    for n in (2, 3, 17, 100, 46340, 46341, 50001):
+        g1, g2 = MinstdRand0(9), MinstdRand0(9)
+        std_shuffle(list(range(n)), g1)
+        fast_forward_uniform_draws(g2, shuffle_draw_pasts(n))
+        assert g1.state == g2.state, n
