@@ -894,6 +894,39 @@ def test_sharded_corpus_no_replicated_token_array():
     p2, o2, costs = runner(p, o, jax.random.PRNGKey(1), perm, 0)
     assert np.all(np.isfinite(np.asarray(costs)))
 
+    # Per-device memory: the token arrays enter as arguments, so the
+    # compiled per-device argument bytes must reflect the SHARD, not the
+    # corpus — compare against the replicated-corpus multistep at the
+    # same shapes (same params/opt-state/batch sizes).
+    from cunvsm_tpu.data.device_sampler import (
+        make_device_sampled_sharded_multistep,
+        make_epoch_permuter,
+        prepare_device_corpus,
+    )
+
+    sharded_args = runner.lower(
+        p2, o2, jax.random.PRNGKey(1), perm, 0
+    ).compile().memory_analysis().argument_size_in_bytes
+    dc = prepare_device_corpus(corpus)
+    params2 = init_params(jax.random.PRNGKey(0), 128, corpus.num_docs, desc)
+    repl_runner, rp, ro = make_device_sampled_sharded_multistep(
+        desc, cfg, dc, 2, mesh, params2, opt.init(params2),
+        num_entities=corpus.num_docs,
+    )
+    permuter_r, _ = make_epoch_permuter(dc)
+    repl_args = repl_runner.lower(
+        rp, ro, jax.random.PRNGKey(1), permuter_r(jax.random.PRNGKey(5)), 0
+    ).compile().memory_analysis().argument_size_in_bytes
+    # The replicated path embeds its corpus as closure constants (not
+    # arguments), so compare absolute budgets instead: the sharded path's
+    # arguments = params/opt/perm + its LOCAL token shard only.
+    local_token_bytes = int(
+        sdc.tokens_wide.shape[1] * sdc.tokens_wide.shape[2] * 2
+    )
+    assert sharded_args <= repl_args + 2 * local_token_bytes + (
+        sdc.doc_meta.shape[1] * 3 * 4 + sdc.local_pointers.shape[1] * 4
+    ), (sharded_args, repl_args, local_token_bytes)
+
 
 def test_trainer_shard_corpus_end_to_end():
     import dataclasses
