@@ -81,7 +81,10 @@ def main():
 
     t = threading.Thread(target=_probe, daemon=True)
     t.start()
-    t.join(timeout=120)
+    # 300 s window: backend init retries its gRPC connect internally, so a
+    # relay that returns mid-probe still completes init; a truly dead relay
+    # just costs the bounded wait before the parseable error line below.
+    t.join(timeout=300)
     if not probe_ok.is_set():
         metric = "train_ngram_pairs_per_sec"
         if args.reference_exact:
@@ -93,7 +96,7 @@ def main():
             "vs_baseline": None,
             "error": (
                 probe_error[0] if probe_error else
-                "jax backend init did not complete in 120 s "
+                "jax backend init did not complete in 300 s "
                 "(TPU tunnel unavailable)"
             ),
         }))
