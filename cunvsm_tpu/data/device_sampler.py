@@ -431,6 +431,28 @@ def make_device_sampled_multistep(
     return jax.jit(multistep, donate_argnums=(0, 1))
 
 
+def _token_balanced_groups(eligible, elig_lengths, n_groups):
+    """Split eligible documents into ``n_groups`` contiguous-by-id groups
+    with near-equal token mass: cut the token cumsum at multiples of
+    total/n_groups."""
+    cum = np.cumsum(elig_lengths)
+    bounds = [0]
+    for s in range(1, n_groups):
+        bounds.append(
+            int(np.searchsorted(cum, cum[-1] * s / n_groups, side="left"))
+            + 1
+        )
+    bounds.append(len(eligible))
+    bounds = np.maximum.accumulate(np.asarray(bounds))  # monotone guard
+    groups = [eligible[bounds[s]:bounds[s + 1]] for s in range(n_groups)]
+    if any(len(g) == 0 for g in groups):
+        raise ValueError(
+            "token-balanced split produced an empty shard; fewer data "
+            "shards or more documents required"
+        )
+    return groups
+
+
 class ShardedDeviceCorpus(NamedTuple):
     """Device corpus sharded over the mesh's data axis for pod scale.
 
@@ -500,26 +522,7 @@ def prepare_sharded_device_corpus(
     elig_lengths = lengths[eligible]
     avg = float(elig_lengths.mean())
     samples_per_doc = max(int(math.ceil(avg - w + 1)), 1)
-
-    # Contiguous-by-id groups with near-equal token mass: cut the token
-    # cumsum at multiples of total/n_data.
-    cum = np.cumsum(elig_lengths)
-    bounds = [0]
-    for s in range(1, n_data):
-        bounds.append(
-            int(np.searchsorted(cum, cum[-1] * s / n_data, side="left")) + 1
-        )
-    bounds.append(len(eligible))
-    bounds = np.maximum.accumulate(np.asarray(bounds))  # monotone guard
-
-    shards = []
-    for s in range(n_data):
-        shards.append(eligible[bounds[s]:bounds[s + 1]])
-    if any(len(s) == 0 for s in shards):
-        raise ValueError(
-            "token-balanced split produced an empty shard; fewer data "
-            "shards or more documents required"
-        )
+    shards = _token_balanced_groups(eligible, elig_lengths, n_data)
 
     d_pad = max(len(s) for s in shards)
     tok_counts = [int(lengths[s].sum()) for s in shards]
@@ -860,3 +863,52 @@ def make_epoch_permuter(dc: DeviceCorpus):
     doc_ptrs = epoch_doc_pointers(dc)
     permute = jax.jit(lambda k: jax.random.permutation(k, doc_ptrs))
     return permute, int(doc_ptrs.shape[0])
+
+
+def make_stratified_epoch_permuter(
+    dc: DeviceCorpus, num_groups: int, batch_size: int
+):
+    """Single-device permuter reproducing the data-axis-sharded corpus's
+    epoch semantics, so the ``shard_corpus`` shuffle relaxation can be
+    quality-A/B'd against the global shuffle without a mesh.
+
+    Mirrors ``prepare_sharded_device_corpus`` + ``_make_sharded_sampler``:
+    documents split into the same token-balanced contiguous groups, each
+    group's wrap-padded pointer stream shuffled independently per epoch,
+    and the flat stream interleaving ``b_local = batch_size/num_groups``
+    consecutive pointers per group — every batch therefore draws exactly
+    b_local instances from each group (stratified), exactly the sharded
+    sampler's batch composition.  Group streams are wrap-padded to a
+    common multiple of b_local (<= samples_per_doc + b_local - 1 extra
+    draws per group per epoch); per-doc sample counts are otherwise exact.
+    """
+    import math
+
+    if batch_size % num_groups:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by num_groups "
+            f"{num_groups}"
+        )
+    b_local = batch_size // num_groups
+    lengths = np.asarray(dc.doc_lengths)
+    eligible = np.asarray(dc.eligible)
+    elig_lengths = lengths[eligible]
+    avg = float(elig_lengths.mean()) if len(elig_lengths) else 0.0
+    samples_per_doc = max(int(math.ceil(avg - dc.window_size + 1)), 1)
+    groups = _token_balanced_groups(eligible, elig_lengths, num_groups)
+    d_pad = max(len(g) for g in groups)
+    p_pad = -(-(d_pad * samples_per_doc) // b_local) * b_local
+    ptrs = np.zeros((num_groups, p_pad), np.int32)
+    for g, docs in enumerate(groups):
+        ptrs[g] = np.resize(
+            np.repeat(docs.astype(np.int32), samples_per_doc), p_pad
+        )
+    ptrs = jnp.asarray(ptrs)
+
+    def permute(key):
+        keys = jax.random.split(key, num_groups)
+        shuffled = jax.vmap(jax.random.permutation)(keys, ptrs)
+        blocks = shuffled.reshape(num_groups, p_pad // b_local, b_local)
+        return jnp.transpose(blocks, (1, 0, 2)).reshape(-1)
+
+    return jax.jit(permute), int(num_groups * p_pad)

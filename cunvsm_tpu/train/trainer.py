@@ -105,6 +105,7 @@ def train_model(
     mesh=None,
     on_device_sampling: bool = False,
     shard_corpus: bool = False,
+    stratify_data_groups: int = 0,
     checkpoint_every: int = 1,
 ) -> TrainResult:
     """Train a model over a corpus.
@@ -134,7 +135,11 @@ def train_model(
     device-resident corpus itself over the data axis — each chip holds only
     its document group's tokens and samples its batch shard locally
     (pod-scale memory; per-group instead of global epoch shuffle — see
-    data.device_sampler.ShardedDeviceCorpus).
+    data.device_sampler.ShardedDeviceCorpus).  ``stratify_data_groups``
+    (single-device on_device_sampling only) reproduces that sharded epoch
+    shuffle — per-group reshuffles, every batch stratified over N
+    token-balanced document groups — on an unsharded corpus, to quality-A/B
+    the shard_corpus shuffle relaxation without a mesh.
     ``checkpoint_every`` dumps the per-epoch model/resume state only every
     Nth epoch (the final epoch always dumps) — at collection scale the
     reference's dump-every-epoch default can out-pace slow storage; the
@@ -313,6 +318,8 @@ def train_model(
     device_run = None
     device_run_rem = None
     rem_steps = 0
+    if stratify_data_groups and not on_device_sampling:
+        raise ValueError("stratify_data_groups requires on_device_sampling")
     if on_device_sampling:
         # Explicit errors (not asserts): these must also fire under -O.
         if kind != ObjectiveKind.TEXT_ENTITY:
@@ -332,6 +339,11 @@ def train_model(
 
         if shard_corpus and mesh is None:
             raise ValueError("shard_corpus requires a mesh")
+        if stratify_data_groups and shard_corpus:
+            raise ValueError(
+                "stratify_data_groups simulates the shard_corpus shuffle "
+                "on an unsharded corpus; pick one"
+            )
         resolved_weighting = (
             Weighting.UNIFORM
             if weighting == Weighting.AUTOMATIC
@@ -359,12 +371,28 @@ def train_model(
                 weighting=resolved_weighting,
                 feature_weighting=feature_weighting,
             )
-            from cunvsm_tpu.data.device_sampler import make_epoch_permuter
+            if stratify_data_groups:
+                # Reproduce the shard_corpus epoch semantics (per-group
+                # shuffle, stratified batches) on this unsharded corpus —
+                # the quality A/B of the sharded shuffle relaxation.
+                from cunvsm_tpu.data.device_sampler import (
+                    make_stratified_epoch_permuter,
+                )
 
-            # Epoch-exact sampling (StochasticInstanceGenerator parity):
-            # one on-device reshuffle of the document-pointer array per
-            # epoch.
-            epoch_permuter, _ptrs_per_epoch = make_epoch_permuter(dc)
+                epoch_permuter, _ptrs_per_epoch = (
+                    make_stratified_epoch_permuter(
+                        dc, stratify_data_groups, cfg.batch_size
+                    )
+                )
+            else:
+                from cunvsm_tpu.data.device_sampler import (
+                    make_epoch_permuter,
+                )
+
+                # Epoch-exact sampling (StochasticInstanceGenerator
+                # parity): one on-device reshuffle of the document-pointer
+                # array per epoch.
+                epoch_permuter, _ptrs_per_epoch = make_epoch_permuter(dc)
         # Exact epoch semantics: a K that does not divide the epoch's step
         # count would silently drop the remainder steps every epoch (the
         # reference trains every instance each epoch).  Train the

@@ -40,6 +40,12 @@ CONFIGS = {
     "pool12800_s1281": dict(
         negative_pool_size=12800, negative_pool_stride=1281
     ),
+    # The shard_corpus epoch-shuffle relaxation (per-group shuffle,
+    # stratified batches over 8 token-balanced document groups) simulated
+    # on one device — quality A/B against pool2048_s205's global shuffle.
+    "pool2048_s205_strat8": dict(
+        negative_pool_size=2048, negative_pool_stride=205, _stratify=8
+    ),
 }
 
 VOCAB = 32768
@@ -139,7 +145,8 @@ def main(argv=None):
         word_repr_size=300, entity_repr_size=256,
         nonlinearity=Nonlinearity.HARD_TANH, batch_normalization=True,
     )
-    overrides = CONFIGS[args.config]
+    overrides = dict(CONFIGS[args.config])
+    stratify = overrides.pop("_stratify", 0)
     for seed in [int(s) for s in args.seeds.split(",")]:
         cfg = TrainConfig(
             num_epochs=args.num_epochs, batch_size=51200, window_size=10,
@@ -155,6 +162,7 @@ def main(argv=None):
             desc, cfg, corpus,
             on_device_sampling=True,
             steps_per_call=args.steps_per_call,
+            stratify_data_groups=stratify,
         )
         engine = QueryEngine(
             result.params, corpus.vocab.terms, corpus.docnos,

@@ -360,3 +360,99 @@ def test_trainer_host_path_pooled_negatives(tmp_path):
     r = train_model(desc, cfg, c, output_prefix=str(tmp_path / "m"))
     assert all(np.isfinite(x) for x in r.epoch_costs)
     assert r.epoch_costs[-1] < r.epoch_costs[0]
+
+
+class TestStratifiedPermuter:
+    """make_stratified_epoch_permuter reproduces the shard_corpus epoch
+    semantics (per-group shuffle, stratified batches) on one device."""
+
+    def _dc(self):
+        from cunvsm_tpu.data.synth import uniform_corpus
+
+        c = uniform_corpus(24, 12, 50, window_size=3, seed=0)
+        return prepare_device_corpus(c)
+
+    def test_batches_stratified_and_counts_exact(self):
+        import math
+
+        from cunvsm_tpu.data.device_sampler import (
+            _token_balanced_groups,
+            make_stratified_epoch_permuter,
+        )
+
+        dc = self._dc()
+        num_groups, batch = 4, 8
+        b_local = batch // num_groups
+        permute, n = make_stratified_epoch_permuter(dc, num_groups, batch)
+        perm = np.asarray(permute(jax.random.PRNGKey(0)))
+        assert len(perm) == n
+
+        lengths = np.asarray(dc.doc_lengths)
+        eligible = np.asarray(dc.eligible)
+        groups = _token_balanced_groups(
+            eligible, lengths[eligible], num_groups
+        )
+        group_of = {
+            int(d): g for g, docs in enumerate(groups) for d in docs
+        }
+        # Every batch slice draws exactly b_local pointers per group.
+        for s in range(0, n, batch):
+            counts = np.bincount(
+                [group_of[int(d)] for d in perm[s:s + batch]],
+                minlength=num_groups,
+            )
+            assert (counts == b_local).all(), (s, counts)
+
+        # Per-document sample counts: samples_per_doc for every eligible
+        # document, plus only the documented wrap padding per group.
+        spd = max(
+            int(math.ceil(float(lengths[eligible].mean())
+                          - dc.window_size + 1)),
+            1,
+        )
+        cnt = np.bincount(perm, minlength=len(lengths))
+        for g, docs in enumerate(groups):
+            pad = n // num_groups - len(docs) * spd
+            assert (cnt[docs] >= spd).all()
+            assert cnt[docs].sum() == len(docs) * spd + pad
+
+    def test_reshuffles_per_epoch_same_multiset(self):
+        from cunvsm_tpu.data.device_sampler import (
+            make_stratified_epoch_permuter,
+        )
+
+        dc = self._dc()
+        permute, n = make_stratified_epoch_permuter(dc, 2, 8)
+        a = np.asarray(permute(jax.random.PRNGKey(1)))
+        b = np.asarray(permute(jax.random.PRNGKey(2)))
+        assert not np.array_equal(a, b)
+        assert np.array_equal(np.sort(a), np.sort(b))
+
+    def test_batch_size_must_divide(self):
+        from cunvsm_tpu.data.device_sampler import (
+            make_stratified_epoch_permuter,
+        )
+
+        with pytest.raises(ValueError, match="not divisible"):
+            make_stratified_epoch_permuter(self._dc(), 3, 8)
+
+
+def test_trainer_stratified_groups(tmp_path):
+    from cunvsm_tpu.data.synth import uniform_corpus
+    from cunvsm_tpu.train.trainer import train_model
+
+    c = uniform_corpus(24, 12, 50, window_size=3, seed=0)
+    desc = ModelDesc(word_repr_size=8, entity_repr_size=6)
+    cfg = TrainConfig(
+        num_epochs=2, batch_size=16, window_size=3, num_random_entities=2,
+        learning_rate=0.05,
+    )
+    r = train_model(
+        desc, cfg, c, on_device_sampling=True, steps_per_call=2,
+        stratify_data_groups=4,
+    )
+    assert len(r.epoch_costs) == 2
+    assert all(np.isfinite(x) for x in r.epoch_costs)
+
+    with pytest.raises(ValueError, match="requires on_device_sampling"):
+        train_model(desc, cfg, c, stratify_data_groups=4)
