@@ -255,6 +255,15 @@ class AsyncCheckpointWriter:
 
         def snap(leaf):
             if isinstance(leaf, jax.Array):
+                if not leaf.is_fully_addressable:
+                    # Multi-process: this process cannot pull the whole
+                    # array, so gather it here on the TRAINING thread —
+                    # process_allgather is a collective and every process
+                    # calls save_* at the same epochs (matched control
+                    # flow); only the primary then enqueues the file write.
+                    from cunvsm_tpu.parallel.distributed import fetch
+
+                    return fetch(leaf)
                 # Device-side copy: asynchronous, HBM-bandwidth fast, and
                 # independent of the donated training buffers.  The worker
                 # pulls it to the host (np.asarray in the save functions).
@@ -265,17 +274,25 @@ class AsyncCheckpointWriter:
 
     def save_model(self, params: ModelParams, prefix: str, epoch,
                    overwrite: bool = False):
-        self._submit(
-            save_model_hdf5, self._snapshot(params), prefix, epoch,
-            overwrite=overwrite,
-        )
+        from cunvsm_tpu.parallel.distributed import is_primary
+
+        snap = self._snapshot(params)  # collective under multi-process
+        if is_primary():
+            self._submit(
+                save_model_hdf5, snap, prefix, epoch, overwrite=overwrite,
+            )
 
     def save_training_state(self, prefix: str, params, opt_state, epoch,
                             extra=None):
-        self._submit(
-            save_training_state, prefix, self._snapshot(params),
-            self._snapshot(opt_state), epoch, extra=extra,
-        )
+        from cunvsm_tpu.parallel.distributed import is_primary
+
+        p_snap = self._snapshot(params)  # collective under multi-process
+        o_snap = self._snapshot(opt_state)
+        if is_primary():
+            self._submit(
+                save_training_state, prefix, p_snap, o_snap, epoch,
+                extra=extra,
+            )
 
     def wait(self):
         """Block until every submitted write has finished; re-raise any
@@ -292,16 +309,27 @@ class AsyncCheckpointWriter:
 def load_training_state(prefix: str, params_like, opt_state_like):
     import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding
 
     path = f"{prefix}_resume.npz"
     data = np.load(path)
     flat_like, treedef = jax.tree_util.tree_flatten(
         (params_like, opt_state_like)
     )
-    leaves = [
-        jnp.asarray(data[f"leaf_{i}"], dtype=leaf.dtype)
-        for i, leaf in enumerate(flat_like)
-    ]
+
+    def restore(i, leaf):
+        arr = data[f"leaf_{i}"].astype(leaf.dtype)
+        # Mesh runs pass sharded like-trees: place each loaded array
+        # straight onto its like-leaf's sharding (host->global device_put
+        # also works when the sharding spans processes, where a plain
+        # jnp.asarray would commit to one local device and conflict with
+        # the step's in_shardings).
+        sh = getattr(leaf, "sharding", None)
+        if isinstance(sh, NamedSharding):
+            return jax.device_put(arr, sh)
+        return jnp.asarray(arr)
+
+    leaves = [restore(i, leaf) for i, leaf in enumerate(flat_like)]
     params, opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
     epoch = int(data["__epoch__"])
     extra = {

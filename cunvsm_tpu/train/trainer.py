@@ -302,8 +302,12 @@ def train_model(
         source.skip_epochs(last_epoch)
         logger.info("Resumed from epoch %d.", last_epoch)
 
-    if output_prefix and start_epoch == 1:
-        # One-time metadata + sidecars (main.cu:527-537).
+    from cunvsm_tpu.parallel.distributed import is_primary
+
+    if output_prefix and start_epoch == 1 and is_primary():
+        # One-time metadata + sidecars (main.cu:527-537).  Exactly one
+        # process writes under multi-process (shared checkpoint FS; the
+        # per-epoch dumps are gated the same way inside the writer).
         meta = ckpt.build_metadata(
             corpus.vocab.index_term_ids,
             corpus.vocab.term_freq,
