@@ -113,17 +113,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_every", type=int, default=1,
                    help="Dump the per-epoch model/resume state every Nth "
                         "epoch (the final epoch always dumps).")
-    p.add_argument("--distributed", action="store_true",
-                   help="Multi-process (multi-host) run: join the global "
-                        "device set via jax.distributed auto-detection "
-                        "(TPU pods) before any backend use.  For manual "
-                        "launches pass the --coordinator_address/"
-                        "--num_processes/--process_id triple instead.")
-    p.add_argument("--coordinator_address", default=None,
-                   help="host:port of process 0's coordinator (manual "
-                        "multi-process launch; implies --distributed).")
-    p.add_argument("--num_processes", type=int, default=None)
-    p.add_argument("--process_id", type=int, default=None)
+    from cunvsm_tpu.cli._platform import add_distributed_flags
+
+    add_distributed_flags(p)
     p.add_argument("--stream_dtype", default="float32",
                    choices=("float32", "bfloat16"),
                    help="bfloat16 runs the gather / gradient-accumulation "
@@ -184,16 +176,11 @@ def main(argv=None) -> int:
     from cunvsm_tpu.cli._platform import apply_platform
 
     apply_platform(args)
-    if args.distributed or args.coordinator_address is not None:
-        # Before ANY backend use: wires this process into the global
-        # device set (parallel/distributed.py).
-        from cunvsm_tpu.parallel.distributed import initialize
+    # Before ANY backend use: wires this process into the global device
+    # set (parallel/distributed.py).
+    from cunvsm_tpu.cli._platform import apply_distributed
 
-        initialize(
-            coordinator_address=args.coordinator_address,
-            num_processes=args.num_processes,
-            process_id=args.process_id,
-        )
+    apply_distributed(args)
 
     if args.seed <= 0:
         # CHECK_GT(FLAGS_seed, 0) (main.cu:708).

@@ -84,6 +84,11 @@ def main(argv=None):
     ap.add_argument("--word_repr_size", type=int, default=300)
     ap.add_argument("--entity_repr_size", type=int, default=256)
     ap.add_argument("--platform", default=None)
+    from cunvsm_tpu.cli._platform import (
+        add_distributed_flags, apply_distributed,
+    )
+
+    add_distributed_flags(ap)
     args = ap.parse_args(argv)
 
     logging.basicConfig(level="INFO", format="%(asctime)s %(message)s")
@@ -91,6 +96,7 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    apply_distributed(args)  # multi-host: before any backend use
 
     from cunvsm_tpu.config import (
         AdamConfig, AdamMode, ModelDesc, Nonlinearity, TrainConfig,
@@ -190,8 +196,11 @@ def main(argv=None):
         "mesh": args.mesh,
         "shard_corpus": args.shard_corpus,
     }
-    with open(args.out, "w") as f:
-        f.write(json.dumps(out) + "\n")
+    from cunvsm_tpu.parallel.distributed import is_primary
+
+    if is_primary():  # one writer under multi-process
+        with open(args.out, "w") as f:
+            f.write(json.dumps(out) + "\n")
     print(json.dumps(out))
     return 0
 

@@ -70,6 +70,11 @@ def main(argv=None):
     p.add_argument("--fail_after_epoch", type=int, default=0,
                    help="rehearsal hook: raise after this epoch completes "
                         "to exercise crash + --resume recovery")
+    from cunvsm_tpu.cli._platform import (
+        add_distributed_flags, apply_distributed,
+    )
+
+    add_distributed_flags(p)
     args = p.parse_args(argv)
     logging.basicConfig(level="INFO", format="%(asctime)s %(message)s")
 
@@ -88,6 +93,7 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    apply_distributed(args)  # multi-host: before any backend use
 
     from cunvsm_tpu.config import (
         AdamConfig,
@@ -202,9 +208,13 @@ def main(argv=None):
         run = engine.rank(val_queries, top_k=1000)
         m = evaluate_run(run, val_qrels, measures=("map",))["map"]
         # Persist across crash + --resume: the post-resume process must
-        # still select over the pre-crash epochs.
-        with open(curve_path, "a") as f:
-            f.write(json.dumps({"epoch": epoch, "map": m}) + "\n")
+        # still select over the pre-crash epochs.  One writer under
+        # multi-process (every process computes the same curve).
+        from cunvsm_tpu.parallel.distributed import is_primary
+
+        if is_primary():
+            with open(curve_path, "a") as f:
+                f.write(json.dumps({"epoch": epoch, "map": m}) + "\n")
         logging.info("Epoch %d validation MAP = %.4f", epoch, m)
         if args.fail_after_epoch and epoch >= args.fail_after_epoch:
             raise RuntimeError(
@@ -239,9 +249,14 @@ def main(argv=None):
         "Best epoch %d (validation MAP %.4f).", best_epoch, best_val
     )
 
+    from cunvsm_tpu.parallel.distributed import is_primary
+
     engine = load_query_engine(prefix, best_epoch, nonlinearity=None)
     nvsm_run = engine.rank(test_queries, top_k=1000)
-    write_run(nvsm_run, os.path.join(args.workdir, "nvsm_test.run"), "nvsm")
+    if is_primary():
+        write_run(
+            nvsm_run, os.path.join(args.workdir, "nvsm_test.run"), "nvsm"
+        )
     results = {
         "best_epoch": best_epoch,
         "validation_map": best_val,
@@ -269,8 +284,9 @@ def main(argv=None):
         )["map"]
 
     print(json.dumps(results, indent=2, sort_keys=True))
-    with open(os.path.join(args.workdir, "results.json"), "w") as f:
-        json.dump(results, f, indent=2, sort_keys=True)
+    if is_primary():
+        with open(os.path.join(args.workdir, "results.json"), "w") as f:
+            json.dump(results, f, indent=2, sort_keys=True)
     return 0
 
 
