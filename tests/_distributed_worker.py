@@ -102,14 +102,36 @@ def main() -> int:
             steps_per_call=2,
         )
         ent = fetch(res.params.entity_reprs)
+        resumed_ent = None
+        if prefix is not None:
+            # Resume two more epochs from the epoch-2 state: exercises the
+            # sharding-aware restore (load_training_state device_puts onto
+            # the like-leaf's NamedSharding) under multi-process.
+            import dataclasses
+
+            res2 = train_model(
+                desc,
+                dataclasses.replace(cfg, num_epochs=4),
+                corpus,
+                output_prefix=prefix,
+                resume=True,
+                mesh=mesh,
+                on_device_sampling=True,
+                shard_corpus=shard_corpus,
+                steps_per_call=2,
+            )
+            assert res2.epoch_costs[-1] < res.epoch_costs[-1]
+            resumed_ent = fetch(res2.params.entity_reprs)
         if is_primary():
+            out = {"ent": ent, "costs": np.asarray(res.epoch_costs)}
+            if resumed_ent is not None:
+                out["resumed_ent"] = resumed_ent
             np.savez(
                 os.path.join(
                     args.outdir,
                     f"result_{mode}_{args.num_processes}p.npz",
                 ),
-                ent=ent,
-                costs=np.asarray(res.epoch_costs),
+                **out,
             )
     print("WORKER-OK", flush=True)
     return 0

@@ -97,6 +97,12 @@ def test_two_processes_match_single_process(results, mode):
     np.testing.assert_allclose(two["ent"], one["ent"], atol=1e-5)
     # And they genuinely trained (params moved, costs fell).
     assert two["costs"][1] < two["costs"][0]
+    if "resumed_ent" in two.files:
+        # Post-resume trajectories (sharding-aware restore under
+        # multi-process) must also agree with single-process.
+        np.testing.assert_allclose(
+            two["resumed_ent"], one["resumed_ent"], atol=1e-5
+        )
 
 
 def test_checkpoints_written_exactly_once(results):
