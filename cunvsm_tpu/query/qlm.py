@@ -264,3 +264,42 @@ def qlm_rank(
         order = _top_k_order(scores, top_k)
         run[qid] = [(index.docnos[int(i)], float(scores[int(i)])) for i in order]
     return run
+
+
+# A-priori PRF hyperparameter grid for supervised per-fold selection
+# (query/fusion.fuse_cross_validated_grid): a symmetric lattice around the
+# Indri-style defaults fb_docs=10 / fb_terms=10 / orig_weight=0.5 the
+# reference's pipelines use (rank-cranfield-collection.sh --prf).  The grid
+# is fixed up front; WHICH cell is used is decided per CV fold on train
+# queries only, so including it in a pipeline is supervised model selection,
+# not test-set tuning.
+PRF_GRID: Tuple[Tuple[int, int, float], ...] = tuple(
+    (fb_docs, fb_terms, orig_weight)
+    for fb_docs in (5, 10, 20)
+    for fb_terms in (5, 10, 20, 50)
+    for orig_weight in (0.3, 0.5, 0.7)
+)
+
+
+def prf_variant_runs(
+    index: QLMIndex,
+    queries: Dict[str, Sequence[str]],
+    smoothing: str = "jm",
+    param: Optional[float] = None,
+    top_k: int = 1000,
+    prf_posterior: str = "rm1",
+    grid: Sequence[Tuple[int, int, float]] = PRF_GRID,
+) -> Dict[str, Dict[str, List[Tuple[str, float]]]]:
+    """One PRF run per grid cell, keyed ``prf_d{fb_docs}_t{fb_terms}_w{w}``.
+
+    The runs are query-model artifacts (independent of any trained model),
+    so a caller fusing many NVSM seeds computes them once.
+    """
+    return {
+        f"prf_d{fb_docs}_t{fb_terms}_w{orig_weight:g}": qlm_rank(
+            index, queries, smoothing=smoothing, param=param, top_k=top_k,
+            prf=True, fb_docs=fb_docs, fb_terms=fb_terms,
+            orig_weight=orig_weight, prf_posterior=prf_posterior,
+        )
+        for fb_docs, fb_terms, orig_weight in grid
+    }

@@ -108,6 +108,12 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     p.add_argument("--sweep", action="store_true",
                    help="include the PRF-variant attribution sweep")
+    p.add_argument("--cv_grid", action="store_true",
+                   help="include the supervised grid-CV protocol: per-fold "
+                        "joint selection of the PRF variant (qlm.PRF_GRID) "
+                        "and alpha on train queries "
+                        "(fusion.fuse_cross_validated_grid) — an honest "
+                        "supervised estimate, unlike the --sweep cells")
     args = p.parse_args(argv)
 
     import jax
@@ -172,6 +178,38 @@ def main(argv=None):
         "max": round(float(np.max(sup)), 4),
         "seeds_ge_0.4345": int(np.sum(np.asarray(sup) >= 0.4345)),
     }
+
+    if args.cv_grid:
+        from cunvsm_tpu.query.fusion import fuse_cross_validated_grid
+        from cunvsm_tpu.query.qlm import prf_variant_runs
+
+        for smoothing in ("jm", "dirichlet"):
+            variants = prf_variant_runs(
+                qlm_index, queries, smoothing=smoothing
+            )
+            fused_maps, histogram = [], {}
+            for run in nvsm_runs.values():
+                fused, selections = fuse_cross_validated_grid(
+                    run, variants, qrels, num_folds=20, alpha_stepsize=0.05
+                )
+                fused_maps.append(m(fused))
+                for s in selections:
+                    histogram[s["lexical"]] = (
+                        histogram.get(s["lexical"], 0) + 1
+                    )
+            results[f"supervised_cvgrid_{smoothing}"] = {
+                "mean": round(float(np.mean(fused_maps)), 4),
+                "std": round(float(np.std(fused_maps, ddof=1)), 4)
+                if len(fused_maps) > 1 else 0.0,
+                "min": round(float(np.min(fused_maps)), 4),
+                "max": round(float(np.max(fused_maps)), 4),
+                "seeds_ge_0.4345": int(
+                    np.sum(np.asarray(fused_maps) >= 0.4345)
+                ),
+                "fold_variant_histogram": dict(
+                    sorted(histogram.items(), key=lambda kv: -kv[1])
+                ),
+            }
 
     if args.sweep:
         # Attribution: vary the lexical run's strength, hold NVSM fixed.

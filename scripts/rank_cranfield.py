@@ -81,6 +81,14 @@ def main(argv=None):
                         "(query/qlm.py): rm1 = query likelihood; indri = "
                         "geometric-mean reconstruction of Indri's "
                         "RMExpander")
+    p.add_argument("--grid_cv_fusion", default="auto",
+                   choices=("auto", "on", "off"),
+                   help="also report supervised fusion cells where the PRF "
+                        "hyperparameters AND alpha are selected per CV fold "
+                        "on train queries (qlm.PRF_GRID x 20-fold CV — the "
+                        "reference's combine_runs protocol extended to the "
+                        "lexical partner; no test-set tuning). auto = on "
+                        "for full runs, off under --quick")
     args = p.parse_args(argv)
 
     logging.basicConfig(level="INFO", format="%(asctime)s %(message)s")
@@ -255,6 +263,41 @@ def main(argv=None):
             key = f"{model_name}+{qlm_name}"
             results[key] = evaluate_run(fused, qrels, measures=("map",))["map"]
             logging.info("%s MAP = %.4f", key, results[key])
+
+    # Supervised grid-CV fusion: per-fold joint selection of the PRF
+    # variant and alpha on train queries (fuse_cross_validated_grid).
+    do_grid_cv = args.grid_cv_fusion == "on" or (
+        args.grid_cv_fusion == "auto" and not args.quick
+    )
+    if do_grid_cv and model_runs:
+        from cunvsm_tpu.query.fusion import fuse_cross_validated_grid
+        from cunvsm_tpu.query.qlm import PRF_GRID, prf_variant_runs
+
+        grid_selections = {}
+        for smoothing in ("jm", "dirichlet"):
+            logging.info(
+                "Building PRF grid runs (%s, %d variants)...",
+                smoothing, len(PRF_GRID),
+            )
+            variants = prf_variant_runs(
+                qlm_index, queries, smoothing=smoothing,
+                prf_posterior=args.prf_posterior,
+            )
+            for model_name in sorted(model_runs):
+                fused, selections = fuse_cross_validated_grid(
+                    model_runs[model_name], variants, qrels,
+                    num_folds=20, alpha_stepsize=0.05,
+                )
+                key = f"{model_name}+qlm_{smoothing}_prf_cvgrid"
+                results[key] = evaluate_run(
+                    fused, qrels, measures=("map",)
+                )["map"]
+                grid_selections[key] = selections
+                logging.info("%s MAP = %.4f", key, results[key])
+        with open(
+            os.path.join(args.workdir, "grid_cv_selections.json"), "w"
+        ) as f:
+            json.dump(grid_selections, f, indent=2)
 
     # --------------------------------------------------------------- report
     reference = {

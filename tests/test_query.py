@@ -271,6 +271,55 @@ class TestCrossValidatedFusion:
         m = evaluate_run(fused, qrels, measures=("map",))
         assert m["map"] == 1.0
 
+    def test_cv_grid_single_variant_matches_cv(self):
+        # With exactly one lexical candidate the grid protocol degenerates
+        # to fuse_cross_validated (same folds, same alpha grid, same
+        # tie-break), so the fused runs must be identical.
+        from cunvsm_tpu.query.fusion import (
+            fuse_cross_validated,
+            fuse_cross_validated_grid,
+        )
+
+        rng = np.random.RandomState(7)
+        docs = [f"d{i}" for i in range(12)]
+        qrels = {
+            f"q{i}": {d: int(rng.rand() < 0.3) for d in docs}
+            for i in range(9)
+        }
+        def rand_run():
+            return {
+                q: sorted(
+                    ((d, float(rng.randn())) for d in docs),
+                    key=lambda x: -x[1],
+                )
+                for q in qrels
+            }
+
+        run_a, run_b = rand_run(), rand_run()
+        ref = fuse_cross_validated(
+            run_a, run_b, qrels, num_folds=4, alpha_stepsize=0.2
+        )
+        got, selections = fuse_cross_validated_grid(
+            run_a, {"only": run_b}, qrels, num_folds=4, alpha_stepsize=0.2
+        )
+        assert got == ref
+        assert {s["lexical"] for s in selections} == {"only"}
+
+    def test_cv_grid_selects_better_variant(self):
+        from cunvsm_tpu.query.fusion import fuse_cross_validated_grid
+        from cunvsm_tpu.query.metrics import evaluate_run
+
+        qrels = {f"q{i}": {"rel": 1, "irr": 0} for i in range(10)}
+        run_a = {f"q{i}": [("irr", 2.0), ("rel", 1.0)] for i in range(10)}
+        good = {f"q{i}": [("rel", 2.0), ("irr", 1.0)] for i in range(10)}
+        bad = {f"q{i}": [("irr", 2.0), ("rel", 1.0)] for i in range(10)}
+        fused, selections = fuse_cross_validated_grid(
+            run_a, {"good": good, "bad": bad}, qrels,
+            num_folds=5, alpha_stepsize=0.25, normalizer="minmax",
+        )
+        assert all(s["lexical"] == "good" for s in selections)
+        assert evaluate_run(fused, qrels, measures=("map",))["map"] == 1.0
+
     def test_recall_metric(self):
         from cunvsm_tpu.query.metrics import recall_at
 
