@@ -153,8 +153,18 @@ def epoch_doc_pointers(dc: DeviceCorpus) -> jax.Array:
 
 
 def _perm_slice(doc_perm: jax.Array, cursor, batch_size: int) -> jax.Array:
-    """Next batch_size pointers from the shuffled epoch array, wrapping
-    modularly (only reachable on corpora smaller than one batch)."""
+    """Next batch_size pointers from the shuffled epoch array.
+
+    The trainer's epoch accounting guarantees cursor + B <= len(doc_perm)
+    (steps_epoch = min(batches, ptrs // B)), so the in-contract fetch is a
+    CONTIGUOUS slice — lax.dynamic_slice is bandwidth-bound (~200 KB at the
+    canonical batch) where the previous modular take was a B-row gather on
+    the per-row-rate-bound gather emitter (~0.4 ms/step).  The modular wrap
+    survives only for corpora smaller than one batch, where dynamic_slice
+    could not produce B elements.
+    """
+    if doc_perm.shape[0] >= batch_size:
+        return jax.lax.dynamic_slice(doc_perm, (cursor,), (batch_size,))
     idx = (cursor + jnp.arange(batch_size, dtype=jnp.int32)) % doc_perm.shape[0]
     return jnp.take(doc_perm, idx)
 
@@ -654,10 +664,10 @@ def _make_sharded_sampler(sdc: ShardedDeviceCorpus, mesh, batch_size: int):
 
         di = jax.lax.axis_index(DATA_AXIS)
         k = jax.random.fold_in(key, di)
-        idx = (
-            cursor + jnp.arange(b_local, dtype=jnp.int32)
-        ) % perm_row.shape[0]
-        local_docs = jnp.take(perm_row, idx)
+        # Contiguous pointer fetch (see _perm_slice): the global cursor //
+        # n_data stays <= p_pad - b_local within an epoch because
+        # num_calls is bounded by ptrs_per_epoch // batch_size.
+        local_docs = _perm_slice(perm_row, cursor, b_local)
         meta = jnp.take(doc_meta, local_docs, axis=0)
         offsets, lengths = meta[:, 0], meta[:, 1]
         max_pos = lengths - w + 1
