@@ -162,7 +162,23 @@ def _perm_slice(doc_perm: jax.Array, cursor, batch_size: int) -> jax.Array:
     the per-row-rate-bound gather emitter (~0.4 ms/step).  The modular wrap
     survives only for corpora smaller than one batch, where dynamic_slice
     could not produce B elements.
+
+    ``doc_perm`` is either [n] doc ids or [n, 3] packed pointer meta rows
+    (doc, offset, length — see ``epoch_ptr_meta``); the slice is contiguous
+    either way.
     """
+    if doc_perm.ndim == 2:
+        if doc_perm.shape[0] >= batch_size:
+            cursor = jnp.asarray(cursor)
+            return jax.lax.dynamic_slice(
+                doc_perm,
+                (cursor, jnp.zeros((), cursor.dtype)),
+                (batch_size, doc_perm.shape[1]),
+            )
+        idx = (
+            cursor + jnp.arange(batch_size, dtype=jnp.int32)
+        ) % doc_perm.shape[0]
+        return jnp.take(doc_perm, idx, axis=0)
     if doc_perm.shape[0] >= batch_size:
         return jax.lax.dynamic_slice(doc_perm, (cursor,), (batch_size,))
     idx = (cursor + jnp.arange(batch_size, dtype=jnp.int32)) % doc_perm.shape[0]
@@ -179,20 +195,28 @@ def sample_batch(
 
     ``docs`` overrides document selection (the epoch-exact path feeds a
     slice of the shuffled per-epoch pointer array); positions are always
-    uniform per draw.
+    uniform per draw.  A 2-D ``docs`` of [B, 3] packed pointer-meta rows
+    (doc, offset, length — ``epoch_ptr_meta``) carries the document
+    metadata inline, skipping the per-step [B]-row doc-meta gather
+    entirely (~0.4 ms/step at the canonical batch: the meta rides the
+    per-epoch permutation's row gather instead, where extra row width is
+    free on the per-row-rate-bound gather emitter).
     """
     k_doc, k_pos = jax.random.split(key)
-    if docs is None:
-        eligible_idx = jax.random.randint(
-            k_doc, (batch_size,), 0, dc.eligible.shape[0]
-        )
-        docs = jnp.take(dc.eligible, eligible_idx)
-    if dc.doc_meta is not None:
-        meta = jnp.take(dc.doc_meta, docs, axis=0)  # [B, 2] (offset, len)
-        offsets, lengths = meta[:, 0], meta[:, 1]
+    if docs is not None and docs.ndim == 2:
+        docs, offsets, lengths = docs[:, 0], docs[:, 1], docs[:, 2]
     else:
-        offsets = jnp.take(dc.doc_offsets, docs)
-        lengths = jnp.take(dc.doc_lengths, docs)
+        if docs is None:
+            eligible_idx = jax.random.randint(
+                k_doc, (batch_size,), 0, dc.eligible.shape[0]
+            )
+            docs = jnp.take(dc.eligible, eligible_idx)
+        if dc.doc_meta is not None:
+            meta = jnp.take(dc.doc_meta, docs, axis=0)  # [B,2] (offset,len)
+            offsets, lengths = meta[:, 0], meta[:, 1]
+        else:
+            offsets = jnp.take(dc.doc_offsets, docs)
+            lengths = jnp.take(dc.doc_lengths, docs)
     max_pos = lengths - dc.window_size + 1
     # floor(u * n) with the maximal f32 u < 1 can round UP to exactly n
     # (the product lands half an ulp below n and ties-to-even) — clamp,
@@ -866,13 +890,58 @@ def make_sharded_epoch_permuter(sdc: ShardedDeviceCorpus, mesh):
     return permute, int(sdc.local_pointers.shape[1]) * sdc.num_shards
 
 
+def epoch_ptr_meta(dc: DeviceCorpus) -> jax.Array:
+    """The per-epoch pointer multiset with document metadata packed inline:
+    [n_ptrs, 3] int32 rows of (doc, offset, length).  Shuffling these rows
+    per epoch instead of bare doc ids costs nothing extra (the permutation's
+    row gather is per-row-rate-bound, so a 12-byte row prices like a 4-byte
+    one) and lets the per-step batch fetch carry offsets/lengths in the same
+    contiguous ``dynamic_slice`` — no per-step [B]-row doc-meta gather."""
+    ptrs = np.asarray(epoch_doc_pointers(dc))
+    meta = np.asarray(dc.doc_meta)[ptrs]  # [n_ptrs, 2] (offset, length)
+    return jnp.asarray(
+        np.concatenate([ptrs[:, None], meta], axis=1), jnp.int32
+    )
+
+
+def _shuffle_columns(key, cols):
+    """Shuffle N aligned [n] columns by one shared random order, reproducing
+    ``jax.random.permutation``'s order exactly (same split sequence, same
+    per-round 32-bit sort keys, same stable sorts — pinned by test against
+    the 1-D permutation) while carrying every column as a sort PAYLOAD.
+    This avoids the [n]-ROW gather jax's 2-D row permutation performs
+    (``take(x, shuffled_arange)``) — at 29M pointer rows per canonical
+    epoch that gather costs 0.15-0.4 s/epoch on the per-row-rate-bound
+    gather emitter, more than the per-step doc-meta gathers it replaces."""
+    n = int(cols[0].shape[0])
+    # jax._src.random._shuffle's static round count (tjablin's analysis):
+    # enough fresh-32-bit-key sorts that all pairwise collisions resolve.
+    num_rounds = int(
+        np.ceil(3 * np.log(max(1, n)) / np.log(np.iinfo(np.uint32).max))
+    )
+    for _ in range(num_rounds):
+        key, subkey = jax.random.split(key)
+        sort_keys = jax.random.bits(subkey, (n,), jnp.uint32)
+        cols = jax.lax.sort(
+            (sort_keys, *cols), dimension=0, is_stable=True, num_keys=1
+        )[1:]
+    return cols
+
+
 def make_epoch_permuter(dc: DeviceCorpus):
     """(jitted permute_fn, pointers_per_epoch): permute_fn(key) shuffles the
     per-epoch document-pointer array on device (the DataSource::reset
-    reshuffle, data_indri.cpp:328-398)."""
-    doc_ptrs = epoch_doc_pointers(dc)
-    permute = jax.jit(lambda k: jax.random.permutation(k, doc_ptrs))
-    return permute, int(doc_ptrs.shape[0])
+    reshuffle, data_indri.cpp:328-398).  The shuffled array is [n_ptrs, 3]
+    packed pointer-meta rows (``epoch_ptr_meta``), shuffled as three sort
+    payloads sharing one key stream — the document order is seed-for-seed
+    identical to the bare-id ``jax.random.permutation`` shuffle."""
+    ptr_meta = epoch_ptr_meta(dc)
+    cols = tuple(ptr_meta[:, j] for j in range(3))
+
+    def permute(k):
+        return jnp.stack(_shuffle_columns(k, cols), axis=1)
+
+    return jax.jit(permute), int(ptr_meta.shape[0])
 
 
 def make_stratified_epoch_permuter(

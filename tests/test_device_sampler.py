@@ -281,13 +281,18 @@ class TestEpochExact:
         dc = prepare_device_corpus(c)
         permute, n_ptrs = make_epoch_permuter(dc)
         perm = permute(jax.random.PRNGKey(3))
-        assert perm.shape[0] == n_ptrs
-        # The permutation is a rearrangement of the pointer multiset.
+        assert perm.shape == (n_ptrs, 3)
+        # The permutation is a rearrangement of the pointer-meta multiset:
+        # doc ids in column 0, each row carrying that doc's (offset, length).
         from cunvsm_tpu.data.device_sampler import epoch_doc_pointers
 
         np.testing.assert_array_equal(
-            np.sort(np.asarray(perm)),
+            np.sort(np.asarray(perm[:, 0])),
             np.sort(np.asarray(epoch_doc_pointers(dc))),
+        )
+        meta = np.asarray(dc.doc_meta)
+        np.testing.assert_array_equal(
+            np.asarray(perm)[:, 1:], meta[np.asarray(perm)[:, 0]]
         )
 
         cfg = TrainConfig(batch_size=2, window_size=3, num_random_entities=1)
@@ -306,6 +311,45 @@ class TestEpochExact:
         assert costs.shape == (steps,)
         assert np.all(np.isfinite(np.asarray(costs)))
 
+    def test_packed_meta_permutation_matches_bare_id_shuffle(self):
+        """The [n,3] pointer-meta shuffle orders documents exactly like the
+        round-4 bare-id shuffle (jax permutes 2-D rows by shuffling arange
+        with the same stable sort keys), and a batch sampled through the
+        packed rows is identical to one sampled through bare doc ids —
+        the doc-meta-gather elimination is bit-neutral."""
+        from cunvsm_tpu.data.device_sampler import (
+            epoch_doc_pointers,
+            make_epoch_permuter,
+        )
+
+        c = corpus()
+        dc = prepare_device_corpus(c)
+        permute, n_ptrs = make_epoch_permuter(dc)
+        perm = np.asarray(permute(jax.random.PRNGKey(11)))
+        legacy = np.asarray(
+            jax.random.permutation(
+                jax.random.PRNGKey(11), epoch_doc_pointers(dc)
+            )
+        )
+        np.testing.assert_array_equal(perm[:, 0], legacy)
+
+        b = 4
+        packed = jnp.asarray(perm[:b])
+        bare = jnp.asarray(perm[:b, 0])
+        k = jax.random.PRNGKey(2)
+        with_meta = jax.jit(lambda: sample_batch(dc, k, b, docs=packed))()
+        with_gather = jax.jit(lambda: sample_batch(dc, k, b, docs=bare))()
+        np.testing.assert_array_equal(
+            np.asarray(with_meta.features), np.asarray(with_gather.features)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(with_meta.labels), np.asarray(with_gather.labels)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(with_meta.feature_weights),
+            np.asarray(with_gather.feature_weights),
+        )
+
     def test_exact_labels_match_slice(self):
         """The batch labels are exactly the cursor slice of the permutation
         (no resampling in exact mode)."""
@@ -317,12 +361,12 @@ class TestEpochExact:
         perm = permute(jax.random.PRNGKey(7))
         b = 3
         start = 2
-        docs = jax.lax.dynamic_slice(perm, (start,), (b,))
+        docs = jax.lax.dynamic_slice(perm, (start, 0), (b, 3))
         batch = jax.jit(
             lambda k: sample_batch(dc, k, b, docs=docs)
         )(jax.random.PRNGKey(0))
         np.testing.assert_array_equal(
-            np.asarray(batch.labels), np.asarray(perm)[start:start + b]
+            np.asarray(batch.labels), np.asarray(perm)[start:start + b, 0]
         )
 
 
