@@ -61,13 +61,17 @@ def _accumulate_only_optimizer(cfg: TrainConfig) -> bool:
 _AUTO_POOL_CANDIDATES = (2048, 1024, 512, 256, 128, 64)
 # Auto-resolution is scale-aware: the rolled pool is selected only when it
 # covers at most this fraction of the entity collection.  Measured quality
-# (PERFORMANCE.md): at ~3% coverage (P=2048, 64k docs) pooled BEATS
-# per-instance (+0.0097 MAP, t=+11.0) and still wins at ~20% coverage
-# (P=12800: +0.0034, t=+3.2); at >=100% coverage (P=2048, 1398-doc
-# Cranfield) it loses a small but real -0.0044 (t~2.2).  0.25 keeps the
-# measured winning regime pooled and resolves small collections to the
-# reference-exact per-instance path (shrinking the pool instead measurably
-# hurts at small scale — P=1024 gives up ~0.5% on Cranfield).
+# at three collection scales (PERFORMANCE.md): at ~3% coverage (P=2048,
+# 64k docs) pooled BEATS per-instance (+0.0097 MAP, t=+11.0), at 12.5%
+# coverage (P=2048, 16k docs, round 5: 5+5 seeds,
+# results/collection_scale_r5_16k.jsonl) it still wins (+0.0030, t=+3.4),
+# as it does at ~20% coverage (P=12800 on 64k: +0.0034, t=+3.2); at
+# >=100% coverage (P=2048, 1398-doc Cranfield) it loses a small but real
+# -0.0044 (t~2.2).  The crossover therefore sits between 20% and 100%
+# coverage; 0.25 keeps every measured winning regime pooled and resolves
+# small collections to the reference-exact per-instance path (shrinking
+# the pool instead measurably hurts at small scale — P=1024 gives up
+# ~0.5% on Cranfield).
 _AUTO_POOL_MAX_COVERAGE = 0.25
 
 
