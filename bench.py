@@ -89,7 +89,7 @@ def main():
         metric = "train_ngram_pairs_per_sec"
         if args.reference_exact:
             metric += "_reference_exact"
-        print(json.dumps({
+        out = {
             "metric": metric,
             "value": None,
             "unit": "pairs/s",
@@ -99,7 +99,29 @@ def main():
                 "jax backend init did not complete in 300 s "
                 "(TPU tunnel unavailable)"
             ),
-        }))
+        }
+        # Point at the most recent REAL TPU measurement of this same step
+        # program (recorded by scripts/tpu_pending_r5.sh when the tunnel
+        # was last alive) so a dead-tunnel round still carries provenance
+        # to the measured number instead of a bare null.
+        if not args.reference_exact:
+            try:
+                import os
+
+                rec_path = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "results", "bench_head_r5.json",
+                )
+                with open(rec_path) as f:
+                    out["recorded_tpu_measurement"] = json.load(f)
+                out["recorded_tpu_measurement_note"] = (
+                    "live TPU unreachable; this is the round-5 HEAD "
+                    "measurement of the identical step program "
+                    "(results/bench_head_r5.json), not a live run"
+                )
+            except Exception:
+                pass
+        print(json.dumps(out))
         return 1
 
     import jax.numpy as jnp
